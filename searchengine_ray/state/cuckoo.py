@@ -1,0 +1,209 @@
+"""Sharded-able cuckoo filter over 64-bit canonical URL hashes.
+
+Replaces the reference's in-RAM exact URL-seen hash sets
+(``SearchEngine.h:517-522`` — ``m_pendingURLs``/``m_processingUrls``
+plus the content-DB index, ~40 B/URL).  The north rule asks for a
+cuckoo filter: 16-bit fingerprints × 4-way buckets ≈ 2.1 B/URL at 95%
+load, i.e. ~21 GB for a 10^10-URL frontier spread across seen-shard
+actors.
+
+Correctness note (SURVEY.md §7.5#7): a filter positive may be a false
+positive (~2^-13 per probe).  ``SeenShard`` therefore pairs the filter
+with an exact store and resolves filter-positives against it, so the
+engine's seen-set is *exact* (golden-oracle-equal) while the filter
+serves the fast vectorized negative path.  At 10^10 scale the exact
+store is the Lance frontier/content log itself; here it is an in-RAM
+uint64 set, checkpointed alongside the filter.
+
+Deterministic: no wall-clock, eviction choice driven by an internal
+LCG that serializes with the filter, so checkpoint/restore round-trips
+bit-identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_FP_MIX = np.uint64(0x5BD1E9955BD1E995)
+MAX_KICKS = 500
+
+
+class CuckooFilter:
+    BUCKET = 4
+
+    def __init__(self, capacity: int, seed: int = 0x9E3779B9):
+        nb = 1
+        while nb * self.BUCKET * 0.95 < capacity:
+            nb <<= 1
+        self.nbuckets = nb
+        self._mask = np.uint64(nb - 1)
+        self.table = np.zeros((nb, self.BUCKET), np.uint16)
+        self.count = 0
+        self._evict_state = np.uint64(seed)
+
+    # -- hashing ---------------------------------------------------------
+    def _fingerprint(self, h: np.ndarray) -> np.ndarray:
+        fp = (h >> np.uint64(48)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)
+        return fp
+
+    def _index1(self, h: np.ndarray) -> np.ndarray:
+        return (h & self._mask).astype(np.uint64)
+
+    def _alt_index(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return ((i ^ (fp.astype(np.uint64) * _FP_MIX)) & self._mask).astype(
+                np.uint64
+            )
+
+    def _next_rand(self) -> int:
+        # 64-bit LCG (MMIX constants) — deterministic, serialized with state
+        with np.errstate(over="ignore"):
+            self._evict_state = (
+                self._evict_state * np.uint64(6364136223846793005)
+                + np.uint64(1442695040888963407)
+            ) & _MASK64
+        return int(self._evict_state >> np.uint64(33))
+
+    # -- queries ---------------------------------------------------------
+    def contains_batch(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.uint64, copy=False)
+        fp = self._fingerprint(h)
+        i1 = self._index1(h)
+        i2 = self._alt_index(i1, fp)
+        fpc = fp[:, None]
+        return ((self.table[i1] == fpc) | (self.table[i2] == fpc)).any(axis=1)
+
+    def add_batch(self, hashes: np.ndarray) -> None:
+        """Insert all (assumed not present; caller dedups)."""
+        h = hashes.astype(np.uint64, copy=False)
+        fps = self._fingerprint(h)
+        i1s = self._index1(h)
+        i2s = self._alt_index(i1s, fps)
+        table = self.table
+        for k in range(len(h)):
+            fp = fps[k]
+            i = int(i1s[k])
+            alt = int(i2s[k])
+            placed = False
+            for idx in (i, alt):
+                row = table[idx]
+                empty = np.nonzero(row == 0)[0]
+                if len(empty):
+                    row[empty[0]] = fp
+                    placed = True
+                    break
+            if placed:
+                self.count += 1
+                continue
+            # evict loop
+            cur_fp = fp
+            cur_i = alt
+            ok = False
+            for _ in range(MAX_KICKS):
+                slot = self._next_rand() % self.BUCKET
+                cur_fp, table[cur_i, slot] = table[cur_i, slot], cur_fp
+                cur_i = int(
+                    self._alt_index(
+                        np.uint64(cur_i), np.array([cur_fp], np.uint16)
+                    )[0]
+                )
+                row = table[cur_i]
+                empty = np.nonzero(row == 0)[0]
+                if len(empty):
+                    row[empty[0]] = cur_fp
+                    ok = True
+                    break
+            if not ok:
+                raise RuntimeError(
+                    f"cuckoo filter over capacity (count={self.count}, "
+                    f"nbuckets={self.nbuckets})"
+                )
+            self.count += 1
+
+    # -- serialization ---------------------------------------------------
+    def to_state(self) -> dict:
+        return {
+            "nbuckets": self.nbuckets,
+            "count": self.count,
+            "evict_state": int(self._evict_state),
+            "table": self.table.tobytes(),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "CuckooFilter":
+        obj = cls.__new__(cls)
+        obj.nbuckets = int(state["nbuckets"])
+        obj._mask = np.uint64(obj.nbuckets - 1)
+        obj.table = (
+            np.frombuffer(state["table"], dtype=np.uint16)
+            .reshape(obj.nbuckets, cls.BUCKET)
+            .copy()
+        )
+        obj.count = int(state["count"])
+        obj._evict_state = np.uint64(state["evict_state"])
+        return obj
+
+
+class SeenShard:
+    """Exact seen-set for one shard: cuckoo fast path + exact store.
+
+    ``test_and_add`` is the only mutation: returns the NEW mask (True =
+    first sighting, now marked seen).  Within-batch duplicates resolve
+    to one True (first occurrence).
+    """
+
+    def __init__(self, capacity: int = 1 << 16, seed: int = 0):
+        self.filter = CuckooFilter(capacity, seed=seed ^ 0x9E3779B9)
+        self.exact: set[int] = set()
+
+    def __len__(self) -> int:
+        return len(self.exact)
+
+    def test_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.uint64, copy=False)
+        maybe_seen = self.filter.contains_batch(h)
+        new_mask = np.zeros(len(h), bool)
+        exact = self.exact
+        to_insert = []
+        seen_in_batch: set[int] = set()
+        for k in range(len(h)):
+            v = int(h[k])
+            if v in seen_in_batch:
+                continue
+            if maybe_seen[k] and v in exact:
+                continue
+            # filter negative → definitely new; filter positive but not in
+            # exact store → false positive → still new
+            seen_in_batch.add(v)
+            new_mask[k] = True
+            to_insert.append(v)
+        if to_insert:
+            arr = np.array(to_insert, np.uint64)
+            exact.update(to_insert)
+            self.filter.add_batch(arr)
+        return new_mask
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.uint64, copy=False)
+        maybe = self.filter.contains_batch(h)
+        out = np.zeros(len(h), bool)
+        for k in np.nonzero(maybe)[0]:
+            out[k] = int(h[k]) in self.exact
+        return out
+
+    # -- serialization ---------------------------------------------------
+    def to_state(self) -> dict:
+        exact = np.fromiter(self.exact, np.uint64, len(self.exact))
+        exact.sort()
+        st = self.filter.to_state()
+        st["exact"] = exact.tobytes()
+        return st
+
+    @classmethod
+    def from_state(cls, state: dict) -> "SeenShard":
+        obj = cls.__new__(cls)
+        obj.filter = CuckooFilter.from_state(state)
+        obj.exact = set(np.frombuffer(state["exact"], np.uint64).tolist())
+        return obj
