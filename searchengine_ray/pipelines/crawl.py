@@ -1,0 +1,579 @@
+"""Distributed crawl engine (Ray) — deterministic epoch pipeline.
+
+Per epoch (SURVEY.md §7.0):
+
+    host actors: politeness-greedy dequeue + outcome resolve   (control)
+      → fetch/decode actor pool (payload, parallel, order-free) (data)
+      → candidate prep: explode links → canonicalize → filter   (vector)
+      → host actors: robots + quota (per-host order preserved)  (control)
+      → seen actors: cuckoo test_and_add (per-hash order)       (control)
+      → driver: shard caps + global budget + enqueue_seq        (control)
+      → host actors: frontier append                            (control)
+      → parquet: content / crawl order / metrics / checkpoint   (sink)
+
+Determinism: all control-plane state (politeness clocks, fail
+counters, quotas, seen membership) is partitioned so that every state
+cell is owned by exactly one actor and receives its inputs in a
+canonical order (global candidate order = (fetch_seq, link position)),
+making results independent of parallelism (SURVEY.md §7.5#1) — the
+property the oracle-conformance tests assert at multiple ``num_cpus``.
+
+The fetch pool is a *persistent* set of ``ray.remote`` actors reused
+across epochs (broadcast store/images deserialized once per actor —
+``ray.put`` once, read in ``__init__``), rather than a fresh
+``map_batches`` actor pool per epoch whose spin-up would dominate
+small epochs; content post-processing at scale (phash dedup, ANN,
+analytics) flows through Ray Data over the written content table
+(``pipelines/queries.py``).
+
+Ordering-edge notes vs the oracle (membership-equal, reason strings
+may differ): a shard-cap rejection happens before dedup in the oracle
+but after dedup here, so cap-rejected candidates are rolled back out
+of the seen filters (``SeenShard.remove``); within an epoch a later
+duplicate of a cap-rejected candidate reports ``dup`` here vs
+``shard_full`` there.
+
+Reference lifecycle being reimplemented: ``runCrawling``
+(``SearchEngine.cpp:842-907``); admission ``Model::pushPending``
+(``SearchEngine.h:800-836``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions import urlkernel as uk
+from ..sources import synth
+from ..state.cuckoo import SeenShard
+from ..state.host import HostShards
+from ..stages.fetch import CONTENT_SCHEMA, FetchDecode
+from .oracle import CrawlConfig
+
+CAND_SCHEMA = pa.schema(
+    [
+        ("fetch_seq", pa.int64()),
+        ("pos", pa.int32()),
+        ("raw", pa.string()),
+        ("url", pa.string()),
+        ("url_hash", pa.uint64()),
+        ("host_hash", pa.uint64()),
+        ("host", pa.string()),
+        ("shard", pa.int32()),
+    ]
+)
+
+METRICS_SCHEMA = pa.schema(
+    [
+        ("epoch", pa.int32()),
+        ("picked", pa.int64()),
+        ("fetched_ok", pa.int64()),
+        ("fetch_failed", pa.int64()),
+        ("candidates", pa.int64()),
+        ("admitted", pa.int64()),
+        ("rejected_static", pa.int64()),
+        ("rejected_robots_quota", pa.int64()),
+        ("rejected_dup", pa.int64()),
+        ("frontier_size", pa.int64()),
+        ("seen_size", pa.int64()),
+    ]
+)
+
+
+@dataclass
+class EngineResult:
+    crawl_order: pa.Table = None
+    content: pa.Table = None
+    metrics: pa.Table = None
+    seen: set = field(default_factory=set)
+    epochs: int = 0
+
+
+def prep_candidates(content: pa.Table, shard_count: int) -> pa.Table:
+    """Explode links → canonicalize → static filter (vectorized).
+
+    Output is in global candidate order (fetch_seq, pos) as long as
+    ``content`` is sorted by fetch_seq (pages emit links in document
+    order)."""
+    fseqs = content["fetch_seq"].to_numpy(zero_copy_only=False)
+    links = content["links"]
+    flat_raw, flat_seq, flat_pos = [], [], []
+    for i in range(len(content)):
+        lv = links[i].as_py()
+        flat_raw.extend(lv)
+        flat_seq.extend([fseqs[i]] * len(lv))
+        flat_pos.extend(range(len(lv)))
+    if not flat_raw:
+        return pa.table(
+            {k.name: [] for k in CAND_SCHEMA}, schema=CAND_SCHEMA
+        )
+    raw = pa.array(flat_raw, type=pa.string())
+    canon, valid = uk.truncate_batch(raw)
+    fmask, _ = uk.filter_mask_batch(canon)
+    keep = valid & fmask
+    idx = np.nonzero(keep)[0]
+    canon_k = canon.take(pa.array(idx))
+    hosts = uk.split_host_batch(canon_k)
+    return pa.table(
+        {
+            "fetch_seq": pa.array(np.asarray(flat_seq, np.int64)[idx]),
+            "pos": pa.array(np.asarray(flat_pos, np.int32)[idx]),
+            "raw": raw.take(pa.array(idx)),
+            "url": canon_k,
+            "url_hash": pa.array(uk.url_hash_batch(canon_k), type=pa.uint64()),
+            "host_hash": pa.array(uk.host_hash_batch(hosts), type=pa.uint64()),
+            "host": hosts,
+            "shard": pa.array(
+                (uk.collision_hash_batch(hosts) % np.uint64(shard_count)).astype(
+                    np.int32
+                )
+            ),
+        },
+        schema=CAND_SCHEMA,
+    )
+
+
+class RayCrawl:
+    def __init__(
+        self,
+        store: synth.WebStore,
+        images: pa.Table,
+        truth: pa.Table | None,
+        cfg: CrawlConfig | None = None,
+        out_dir: str = "/tmp/raycrawl",
+        n_host_actors: int = 4,
+        n_fetch_actors: int = 4,
+        checkpoint: bool = False,
+    ):
+        import ray
+
+        self.ray = ray
+        self.cfg = cfg or CrawlConfig()
+        self.out_dir = out_dir
+        self.ckpt_dir = os.path.join(out_dir, "ckpt")
+        self.checkpoint = checkpoint
+        os.makedirs(out_dir, exist_ok=True)
+        self.n_host_actors = min(n_host_actors, self.cfg.shard_count)
+        self.n_seen = self.cfg.seen_shards
+        self.store_ref = ray.put(store)
+        self.images_ref = ray.put(images)
+        self.truth_ref = ray.put(truth) if truth is not None else None
+
+        HostActor = ray.remote(num_cpus=0)(HostShards)
+        SeenActor = ray.remote(num_cpus=0)(_SeenActor)
+        FetchActor = ray.remote(num_cpus=1)(FetchDecode)
+        shard_of_actor = {
+            a: [
+                s
+                for s in range(self.cfg.shard_count)
+                if s % self.n_host_actors == a
+            ]
+            for a in range(self.n_host_actors)
+        }
+        self.host_actors = [
+            HostActor.remote(self.cfg, shard_of_actor[a], self.store_ref)
+            for a in range(self.n_host_actors)
+        ]
+        self.owner_of_shard = {
+            s: a for a, ss in shard_of_actor.items() for s in ss
+        }
+        self.seen_actors = [
+            SeenActor.remote(1 << 18, k) for k in range(self.n_seen)
+        ]
+        self.fetch_actors = [
+            FetchActor.remote(self.store_ref, self.images_ref, self.truth_ref)
+            for _ in range(n_fetch_actors)
+        ]
+        self.enqueue_seq = 0
+        self.fetch_seq = 0
+        self.epoch = 0
+        self._order_parts: list[pa.Table] = []
+        self._content_parts: list[pa.Table] = []
+        self._metrics_rows: list[dict] = []
+
+    # ------------------------------------------------------------ seeding
+    def admit_seeds(self, seeds: list[str]) -> None:
+        raw = pa.array(seeds, type=pa.string())
+        canon, valid = uk.truncate_batch(raw)
+        fmask, _ = uk.filter_mask_batch(canon)
+        keep = valid & fmask
+        idx = np.nonzero(keep)[0]
+        canon_k = canon.take(pa.array(idx))
+        hosts = uk.split_host_batch(canon_k)
+        cand = pa.table(
+            {
+                "fetch_seq": pa.array(np.full(len(idx), -1, np.int64)),
+                "pos": pa.array(idx.astype(np.int32)),
+                "raw": raw.take(pa.array(idx)),
+                "url": canon_k,
+                "url_hash": pa.array(uk.url_hash_batch(canon_k), type=pa.uint64()),
+                "host_hash": pa.array(uk.host_hash_batch(hosts), type=pa.uint64()),
+                "host": hosts,
+                "shard": pa.array(
+                    (
+                        uk.collision_hash_batch(hosts)
+                        % np.uint64(self.cfg.shard_count)
+                    ).astype(np.int32)
+                ),
+            },
+            schema=CAND_SCHEMA,
+        )
+        self._admit(cand)
+
+    # ---------------------------------------------------------- admission
+    def _admit(self, cand: pa.Table) -> dict:
+        """Run the admission ladder on candidates already in global
+        order; returns counters."""
+        ray = self.ray
+        stats = {"candidates": len(cand), "admitted": 0,
+                 "rejected_robots_quota": 0, "rejected_dup": 0}
+        if len(cand) == 0:
+            return stats
+        order = np.arange(len(cand))
+        # phase 1: robots + quota, per owning host actor (order kept)
+        shard_np = cand["shard"].to_numpy(zero_copy_only=False)
+        owner = np.array([self.owner_of_shard[s] for s in shard_np])
+        futs, idxs = [], []
+        for a, actor in enumerate(self.host_actors):
+            sel = np.nonzero(owner == a)[0]
+            if len(sel) == 0:
+                continue
+            futs.append(actor.admit_phase1.remote(cand.take(pa.array(sel))))
+            idxs.append(sel)
+        ok1 = np.zeros(len(cand), bool)
+        for sel, tbl in zip(idxs, ray.get(futs)):
+            ok1[sel] = tbl["ok"].to_numpy(zero_copy_only=False)
+        stats["rejected_robots_quota"] = int((~ok1).sum())
+        surv1 = np.nonzero(ok1)[0]
+        if len(surv1) == 0:
+            return stats
+        sub1 = cand.take(pa.array(surv1))
+        # phase 2: seen-filter test_and_add, per url_hash shard (order kept)
+        uh = sub1["url_hash"].to_numpy(zero_copy_only=False)
+        sowner = (uh % np.uint64(self.n_seen)).astype(np.int64)
+        futs, idxs = [], []
+        for k, actor in enumerate(self.seen_actors):
+            sel = np.nonzero(sowner == k)[0]
+            if len(sel) == 0:
+                continue
+            futs.append(actor.test_and_add.remote(uh[sel]))
+            idxs.append(sel)
+        new = np.zeros(len(sub1), bool)
+        for sel, mask in zip(idxs, ray.get(futs)):
+            new[sel] = mask
+        stats["rejected_dup"] = int((~new).sum())
+        surv2 = np.nonzero(new)[0]
+        if len(surv2) == 0:
+            return stats
+        sub2 = sub1.take(pa.array(surv2))
+        # phase 3 (driver): per-shard caps + global budget, in order
+        sizes: dict[int, int] = {}
+        for d in ray.get([a.shard_sizes.remote() for a in self.host_actors]):
+            sizes.update(d)
+        shard2 = sub2["shard"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(sub2), bool)
+        room = {
+            s: max(0, self.cfg.max_frontier_per_shard - sizes.get(s, 0))
+            for s in set(shard2.tolist())
+        }
+        for i in range(len(sub2)):
+            s = int(shard2[i])
+            if room[s] <= 0:
+                keep[i] = False
+            else:
+                room[s] -= 1
+        total_seen = sum(ray.get([a.count.remote() for a in self.seen_actors]))
+        # seen currently includes every phase-2 insert; discount the
+        # cap-rejected ones (rolled back below) before the budget check
+        total_seen -= int((~keep).sum())
+        over = total_seen - self.cfg.max_crawl_urls
+        if over > 0:
+            kept_idx = np.nonzero(keep)[0]
+            for i in kept_idx[::-1][:over]:
+                keep[i] = False
+        rollback = np.nonzero(~keep)[0]
+        if len(rollback):
+            rb = sub2.take(pa.array(rollback))
+            uh_rb = rb["url_hash"].to_numpy(zero_copy_only=False)
+            so = (uh_rb % np.uint64(self.n_seen)).astype(np.int64)
+            ray.get(
+                [
+                    self.seen_actors[k].remove.remote(uh_rb[so == k])
+                    for k in set(so.tolist())
+                ]
+            )
+        surv3 = np.nonzero(keep)[0]
+        if len(surv3) == 0:
+            return stats
+        final = sub2.take(pa.array(surv3))
+        seqs = np.arange(self.enqueue_seq, self.enqueue_seq + len(final), dtype=np.int64)
+        self.enqueue_seq += len(final)
+        final = final.append_column("enqueue_seq", pa.array(seqs))
+        stats["admitted"] = len(final)
+        fshard = final["shard"].to_numpy(zero_copy_only=False)
+        fowner = np.array([self.owner_of_shard[s] for s in fshard])
+        ray.get(
+            [
+                self.host_actors[a].append_frontier.remote(
+                    final.take(pa.array(np.nonzero(fowner == a)[0]))
+                )
+                for a in set(fowner.tolist())
+            ]
+        )
+        return stats
+
+    # -------------------------------------------------------------- epoch
+    def run_epoch(self) -> bool:
+        """One epoch; returns False when the crawl is finished."""
+        ray = self.ray
+        cfg = self.cfg
+        fsizes = ray.get([a.frontier_size.remote() for a in self.host_actors])
+        if sum(fsizes) == 0:
+            return False
+        if cfg.max_fetches is not None and self.fetch_seq >= cfg.max_fetches:
+            return False
+        epoch = self.epoch
+        picks = pa.concat_tables(
+            ray.get([a.dequeue_epoch.remote(epoch) for a in self.host_actors])
+        )
+        picks = picks.sort_by([("t_sched", "ascending"), ("enqueue_seq", "ascending")])
+        if cfg.max_fetches is not None:
+            picks = picks.slice(0, cfg.max_fetches - self.fetch_seq)
+        n = len(picks)
+        fseq = np.arange(self.fetch_seq, self.fetch_seq + n, dtype=np.int64)
+        self.fetch_seq += n
+        picks = picks.append_column("fetch_seq", pa.array(fseq)).append_column(
+            "epoch", pa.array(np.full(n, epoch, np.int32))
+        )
+        self._order_parts.append(
+            picks.select(["fetch_seq", "url", "url_hash", "t_sched", "epoch"])
+        )
+        ok_picks = picks.filter(pc.greater_equal(picks["content_row"], 0))
+        content = pa.table(
+            {k.name: [] for k in CONTENT_SCHEMA}, schema=CONTENT_SCHEMA
+        )
+        if len(ok_picks):
+            # round-robin chunks over the persistent fetch pool
+            nf = len(self.fetch_actors)
+            chunk = max(32, (len(ok_picks) + nf - 1) // nf)
+            futs = [
+                self.fetch_actors[(i // chunk) % nf].__call__.remote(
+                    ok_picks.slice(i, chunk)
+                )
+                for i in range(0, len(ok_picks), chunk)
+            ]
+            parts = [t for t in ray.get(futs) if len(t)]
+            if parts:
+                content = pa.concat_tables(parts).sort_by("fetch_seq")
+        self._content_parts.append(content)
+        cand = prep_candidates(content, cfg.shard_count)
+        stats = self._admit(cand)
+        seen_size = sum(ray.get([a.count.remote() for a in self.seen_actors]))
+        frontier_size = sum(ray.get([a.frontier_size.remote() for a in self.host_actors]))
+        self._metrics_rows.append(
+            {
+                "epoch": epoch,
+                "picked": n,
+                "fetched_ok": len(content),
+                "fetch_failed": n - len(content),
+                "candidates": stats["candidates"],
+                "admitted": stats["admitted"],
+                "rejected_static": 0,
+                "rejected_robots_quota": stats["rejected_robots_quota"],
+                "rejected_dup": stats["rejected_dup"],
+                "frontier_size": frontier_size,
+                "seen_size": seen_size,
+            }
+        )
+        self.epoch += 1
+        if self.checkpoint:
+            self.write_checkpoint()
+        if cfg.max_fetches is not None and self.fetch_seq >= cfg.max_fetches:
+            return False
+        return True
+
+    def run(self, max_epochs: int | None = None) -> EngineResult:
+        limit = max_epochs if max_epochs is not None else self.cfg.max_epochs
+        while self.epoch < limit:
+            if not self.run_epoch():
+                break
+        return self.result()
+
+    def result(self) -> EngineResult:
+        ray = self.ray
+        res = EngineResult()
+        res.epochs = self.epoch
+        res.crawl_order = (
+            pa.concat_tables(self._order_parts)
+            if self._order_parts
+            else pa.table({"fetch_seq": []})
+        )
+        parts = [t for t in self._content_parts if len(t)]
+        res.content = pa.concat_tables(parts) if parts else None
+        res.metrics = (
+            pa.Table.from_pylist(self._metrics_rows, schema=METRICS_SCHEMA)
+            if self._metrics_rows
+            else None
+        )
+        for hs in ray.get([a.dump_hashes.remote() for a in self.seen_actors]):
+            res.seen.update(int(x) for x in hs)
+        return res
+
+    # --------------------------------------------------------- checkpoint
+    def write_checkpoint(self) -> None:
+        ray = self.ray
+        epoch = self.epoch  # state AFTER epoch-1 completed
+        d = os.path.join(self.ckpt_dir, f"epoch={epoch}")
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        snaps = ray.get([a.snapshot.remote() for a in self.host_actors])
+        for a, (fr, hs) in enumerate(snaps):
+            pq.write_table(fr, os.path.join(tmp, f"frontier-{a}.parquet"))
+            pq.write_table(hs, os.path.join(tmp, f"hoststate-{a}.parquet"))
+        for k, st in enumerate(ray.get([a.to_state.remote() for a in self.seen_actors])):
+            pq.write_table(
+                pa.table(
+                    {
+                        "nbuckets": [st["nbuckets"]],
+                        "count": [st["count"]],
+                        "evict_state": [st["evict_state"]],
+                        "table": [st["table"]],
+                        "exact": [st["exact"]],
+                        "parent_epoch": [epoch - 1],
+                    }
+                ),
+                os.path.join(tmp, f"seen-{k}.parquet"),
+            )
+        with open(os.path.join(tmp, "driver.json"), "w") as f:
+            json.dump(
+                {
+                    "epoch": self.epoch,
+                    "enqueue_seq": self.enqueue_seq,
+                    "fetch_seq": self.fetch_seq,
+                    "parent_epoch": epoch - 1,
+                },
+                f,
+            )
+        # per-epoch result partitions (resumable output layout)
+        pq.write_table(
+            self._order_parts[-1], os.path.join(tmp, "crawl_order.parquet")
+        )
+        pq.write_table(
+            self._content_parts[-1], os.path.join(tmp, "content.parquet")
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        os.replace(tmp, d)  # atomic publish = the epoch's commit point
+
+    @classmethod
+    def resume(
+        cls,
+        store,
+        images,
+        truth,
+        cfg,
+        out_dir,
+        n_host_actors=4,
+        n_fetch_actors=4,
+    ) -> "RayCrawl":
+        ckpt_dir = os.path.join(out_dir, "ckpt")
+        epochs = sorted(
+            int(e.split("=")[1])
+            for e in os.listdir(ckpt_dir)
+            if e.startswith("epoch=") and not e.endswith(".tmp")
+        )
+        if not epochs:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        last = epochs[-1]
+        d = os.path.join(ckpt_dir, f"epoch={last}")
+        eng = cls(
+            store,
+            images,
+            truth,
+            cfg,
+            out_dir,
+            n_host_actors=n_host_actors,
+            n_fetch_actors=n_fetch_actors,
+            checkpoint=True,
+        )
+        ray = eng.ray
+        with open(os.path.join(d, "driver.json")) as f:
+            drv = json.load(f)
+        eng.epoch = drv["epoch"]
+        eng.enqueue_seq = drv["enqueue_seq"]
+        eng.fetch_seq = drv["fetch_seq"]
+        futs = []
+        for a, actor in enumerate(eng.host_actors):
+            fr = pq.read_table(os.path.join(d, f"frontier-{a}.parquet"))
+            hs = pq.read_table(os.path.join(d, f"hoststate-{a}.parquet"))
+            futs.append(actor.restore.remote(fr, hs))
+        for k, actor in enumerate(eng.seen_actors):
+            st = pq.read_table(os.path.join(d, f"seen-{k}.parquet")).to_pylist()[0]
+            futs.append(actor.restore.remote(st))
+        ray.get(futs)
+        # reload prior epochs' outputs so result() is complete
+        for e in epochs:
+            de = os.path.join(ckpt_dir, f"epoch={e}")
+            eng._order_parts.append(pq.read_table(os.path.join(de, "crawl_order.parquet")))
+            eng._content_parts.append(pq.read_table(os.path.join(de, "content.parquet")))
+        return eng
+
+
+class _SeenActor:
+    """Seen-filter shard actor: cuckoo + exact store (state/cuckoo.py)."""
+
+    def __init__(self, capacity: int, shard_id: int):
+        self.shard = SeenShard(capacity=capacity, seed=shard_id)
+
+    def test_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        return self.shard.test_and_add(hashes)
+
+    def remove(self, hashes: np.ndarray) -> None:
+        self.shard.remove(hashes)
+
+    def count(self) -> int:
+        return len(self.shard)
+
+    def dump_hashes(self) -> np.ndarray:
+        out = np.fromiter(self.shard.exact, np.uint64, len(self.shard.exact))
+        out.sort()
+        return out
+
+    def to_state(self) -> dict:
+        return self.shard.to_state()
+
+    def restore(self, state: dict) -> None:
+        self.shard = SeenShard.from_state(state)
+
+
+def run_crawl(
+    seeds: list[str],
+    store: synth.WebStore,
+    images: pa.Table,
+    truth: pa.Table | None = None,
+    cfg: CrawlConfig | None = None,
+    out_dir: str = "/tmp/raycrawl",
+    n_host_actors: int = 4,
+    n_fetch_actors: int = 4,
+    checkpoint: bool = False,
+    max_epochs: int | None = None,
+) -> EngineResult:
+    eng = RayCrawl(
+        store,
+        images,
+        truth,
+        cfg,
+        out_dir,
+        n_host_actors=n_host_actors,
+        n_fetch_actors=n_fetch_actors,
+        checkpoint=checkpoint,
+    )
+    eng.admit_seeds(seeds)
+    return eng.run(max_epochs=max_epochs)

@@ -122,6 +122,23 @@ class CuckooFilter:
                 )
             self.count += 1
 
+    def remove_batch(self, hashes: np.ndarray) -> None:
+        """Delete one fingerprint occurrence per hash (standard cuckoo
+        delete; caller guarantees the hash was inserted)."""
+        h = hashes.astype(np.uint64, copy=False)
+        fps = self._fingerprint(h)
+        i1s = self._index1(h)
+        i2s = self._alt_index(i1s, fps)
+        for k in range(len(h)):
+            fp = fps[k]
+            for idx in (int(i1s[k]), int(i2s[k])):
+                row = self.table[idx]
+                hit = np.nonzero(row == fp)[0]
+                if len(hit):
+                    row[hit[0]] = 0
+                    self.count -= 1
+                    break
+
     # -- serialization ---------------------------------------------------
     def to_state(self) -> dict:
         return {
@@ -184,6 +201,16 @@ class SeenShard:
             exact.update(to_insert)
             self.filter.add_batch(arr)
         return new_mask
+
+    def remove(self, hashes: np.ndarray) -> None:
+        """Un-see hashes (shard-cap rollback — see pipelines/crawl.py)."""
+        h = np.unique(hashes.astype(np.uint64, copy=False))
+        present = np.array([int(v) in self.exact for v in h], bool)
+        h = h[present]
+        for v in h:
+            self.exact.discard(int(v))
+        if len(h):
+            self.filter.remove_batch(h)
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         h = hashes.astype(np.uint64, copy=False)

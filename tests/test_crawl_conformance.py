@@ -1,0 +1,108 @@
+"""Engine-vs-oracle conformance: crawl order + URL-seen set must match
+exactly, independent of actor-pool sizes (north rule / SURVEY.md §7.5#1)."""
+
+import numpy as np
+import pytest
+
+from searchengine_ray.pipelines.oracle import CrawlConfig, simulate
+from searchengine_ray.sources import synth
+
+
+@pytest.fixture(scope="module")
+def fixture_small():
+    images, truth = synth.gen_images(120, seed=42)
+    store = synth.gen_web(900, 120, seed=42)
+    synth.attach_captions(store, images)
+    seeds = synth.gen_seeds(store, 12, seed=42)
+    cfg = CrawlConfig(shard_count=8, per_shard_batch=60, seen_shards=4)
+    golden = simulate(seeds, store, cfg)
+    return images, truth, store, seeds, cfg, golden
+
+
+def _order_tuples(tbl):
+    return list(
+        zip(
+            tbl["fetch_seq"].to_pylist(),
+            tbl["url"].to_pylist(),
+            tbl["url_hash"].to_pylist(),
+            tbl["t_sched"].to_pylist(),
+            tbl["epoch"].to_pylist(),
+        )
+    )
+
+
+def _run_engine(fixture, tmpdir, n_host_actors, n_fetch_actors, **kw):
+    from searchengine_ray.pipelines.crawl import run_crawl
+
+    images, truth, store, seeds, cfg, golden = fixture
+    return run_crawl(
+        seeds,
+        store,
+        images,
+        truth,
+        cfg=cfg,
+        out_dir=str(tmpdir),
+        n_host_actors=n_host_actors,
+        n_fetch_actors=n_fetch_actors,
+        **kw,
+    )
+
+
+@pytest.mark.parametrize("n_host,n_fetch", [(1, 1), (4, 3)])
+def test_engine_matches_oracle(ray_session, fixture_small, tmp_path, n_host, n_fetch):
+    images, truth, store, seeds, cfg, golden = fixture_small
+    res = _run_engine(fixture_small, tmp_path / f"e{n_host}", n_host, n_fetch)
+    got = _order_tuples(res.crawl_order)
+    want = golden.crawl_order
+    assert len(got) == len(want), (len(got), len(want))
+    for g, w in zip(got, want):
+        assert g == w, (g, w)
+    assert res.seen == golden.seen
+    # content set matches too (url_hash, image_id, caption)
+    got_content = sorted(
+        zip(
+            res.content["url_hash"].to_pylist(),
+            res.content["image_id"].to_pylist(),
+            res.content["caption"].to_pylist(),
+        )
+    )
+    want_content = sorted((h, img, cap) for h, u, img, cap, e in golden.content)
+    assert got_content == want_content
+    # payload invariants held for every fetched row
+    assert all(res.content["invariant_ok"].to_pylist())
+
+
+def test_budget_cutoff_matches(ray_session, fixture_small, tmp_path):
+    images, truth, store, seeds, cfg, golden = fixture_small
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, max_fetches=137)
+    golden2 = simulate(seeds, store, cfg2)
+    from searchengine_ray.pipelines.crawl import run_crawl
+
+    res = run_crawl(
+        seeds, store, images, truth, cfg=cfg2, out_dir=str(tmp_path / "b"),
+        n_host_actors=3, n_fetch_actors=2,
+    )
+    assert len(res.crawl_order) == len(golden2.crawl_order) == 137
+    assert _order_tuples(res.crawl_order) == golden2.crawl_order
+    assert res.seen == golden2.seen
+
+
+def test_checkpoint_resume_equivalence(ray_session, fixture_small, tmp_path):
+    """Kill after epoch k, resume from checkpoint → identical final
+    crawl order + seen set (north rule resumability)."""
+    from searchengine_ray.pipelines.crawl import RayCrawl
+
+    images, truth, store, seeds, cfg, golden = fixture_small
+    out = str(tmp_path / "ck")
+    eng = RayCrawl(store, images, truth, cfg, out, n_host_actors=2,
+                   n_fetch_actors=2, checkpoint=True)
+    eng.admit_seeds(seeds)
+    eng.run(max_epochs=3)  # "crash" after 3 epochs
+
+    eng2 = RayCrawl.resume(store, images, truth, cfg, out,
+                           n_host_actors=2, n_fetch_actors=2)
+    res = eng2.run()
+    assert _order_tuples(res.crawl_order) == golden.crawl_order
+    assert res.seen == golden.seen
