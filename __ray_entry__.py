@@ -1,44 +1,58 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline over /root/testdata/sf0.001.
+``queries()`` / ``oracle_sql()`` — the operator catalog
+(searchengine_ray.pipelines.queries), one entry per operator family
+from SURVEY.md §2 plus the training-data operators.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; no
+ray.init()/ray.shutdown() here or in the library.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+# Ray workers need the repo root on PYTHONPATH to unpickle
+# searchengine_ray.* UDFs (workers don't inherit driver sys.path).
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: document quality + language-ID + exact-dedup survivor
+    stats over the sf0.001 documents table, as one Ray Data pipeline."""
+    import pandas as pd
+
+    from searchengine_ray.pipelines.queries import _read
+    from searchengine_ray.stages import text as tx
+
+    ds = _read(SF_SMOKE, "documents", ["doc_id", "text"])
+
+    def enrich(b: pd.DataFrame) -> pd.DataFrame:
+        q = tx.quality_score(b)
+        l = tx.langid(b)
+        return q.merge(l, on="doc_id")
+
+    return ds.map_batches(enrich, batch_format="pandas")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from searchengine_ray.pipelines.queries import queries as _q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from searchengine_ray.pipelines.queries import oracle_sql as _o
+
+    return _o()

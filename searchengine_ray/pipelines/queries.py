@@ -1,0 +1,918 @@
+"""The driver-facing query catalog: Ray Data pipelines + DuckDB oracle
+SQL over the testdata tables (TESTDATA.md), one entry per operator
+family from SURVEY.md §2 plus the training-data operators (dedup /
+similarity / text analysis / multimodal) the build charter adds.
+
+Conventions for hash-stable results vs the SQL oracle:
+* money/quantity aggregates are integer cents (``*100`` before the
+  sum) so float-summation order can never flip a value hash;
+* ratios are integer ppm via floor division;
+* timestamps are compared as BIGINT epoch seconds;
+* every computed column carries the same name in Ray and SQL.
+
+Ray side rules: column-pruned ``read_parquet``, vectorized
+``map_batches`` (pyarrow/pandas kernels), pre-aggregation before
+shuffles, broadcast small sides (dimension tables) via ``ray.put``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..stages import dedup as dd
+from ..stages import text as tx
+from ..stages.text import LANG_PROFILES, STOPWORDS
+
+_STOP_SQL = ",".join(f"'{w}'" for w in sorted(STOPWORDS))
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_TOKS_NS = f"list_filter({_TOKS}, x -> x NOT IN ({_STOP_SQL}))"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _cents(x) -> np.ndarray:
+    return np.round(np.asarray(x, np.float64) * 100).astype(np.int64)
+
+
+# ------------------------------------------------------------------ queries
+
+
+def q01_pricing_summary(sf_dir: str):
+    """TPC-H Q1 analog: filtered grouped aggregate with per-batch
+    integer-cents computation (A1/A7 partial-agg pattern)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ship < np.datetime64("1998-09-01")))
+        qty = _cents(t["l_quantity"].to_numpy(zero_copy_only=False))
+        base = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty_cents": pa.array(qty),
+                "sum_base_cents": pa.array(base),
+                "sum_disc_c4": pa.array(base * (100 - disc)),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_c4", alias_name="sum_disc_c4"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return out
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_c4,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_top_orders(sf_dir: str):
+    """Global top-k by sort (O4/O5): ds.sort(desc).limit."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "total_cents": pa.array(
+                    _cents(t["o_totalprice"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .sort(["total_cents", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_Q02 = """
+SELECT o_orderkey, o_custkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents
+FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+def q03_revenue_by_segment(sf_dir: str):
+    """Broadcast join (J2 pattern): dimension table via ray.put, fact
+    stream maps a dict lookup per batch — no shuffle join."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(seg_of)
+
+    class AddSeg:
+        def __init__(self):
+            self.seg = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["o_custkey"].to_pylist()
+            seg = [self.seg.get(k, "") for k in keys]
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(seg, pa.string()),
+                    "revenue_cents": pa.array(
+                        _cents(t["o_totalprice"].to_numpy(zero_copy_only=False))
+                    ),
+                }
+            )
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    return (
+        ds.map_batches(AddSeg, batch_format="pyarrow", concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Count(alias_name="n_orders"),
+        )
+    )
+
+
+SQL_Q03 = """
+SELECT c.c_mktsegment,
+       CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q04_customers_without_orders(sf_dir: str):
+    """Anti-join via broadcast key set (J1 frontier-dedup pattern)."""
+    import ray
+
+    okeys = set(
+        pq.read_table(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])[
+            "o_custkey"
+        ].to_pylist()
+    )
+    ref = ray.put(okeys)
+
+    class Anti:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = [k not in self.keys for k in t["c_custkey"].to_pylist()]
+            return t.filter(pa.array(mask))
+
+    out = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        Anti, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    if out.empty:  # empty Ray results lose their schema; keep it stable
+        out = pd.DataFrame(
+            {"c_custkey": pd.Series([], dtype="int64"),
+             "c_name": pd.Series([], dtype="object")}
+        )
+    return out
+
+
+SQL_Q04 = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q05_nation_orders(sf_dir: str):
+    """Two-hop broadcast join chain orders→customer→nation."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nk = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
+    nname = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    ref = ray.put((nk, nname))
+
+    class AddNation:
+        def __init__(self):
+            self.nk, self.nname = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [
+                self.nname.get(self.nk.get(k, -1), "") for k in t["o_custkey"].to_pylist()
+            ]
+            return pa.table(
+                {
+                    "n_name": pa.array(names, pa.string()),
+                    "revenue_cents": pa.array(
+                        _cents(t["o_totalprice"].to_numpy(zero_copy_only=False))
+                    ),
+                }
+            )
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(AddNation, batch_format="pyarrow", concurrency=2)
+        .groupby("n_name")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Count(alias_name="n_orders"),
+        )
+    )
+
+
+SQL_Q05 = """
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q06_revenue_filter(sf_dir: str):
+    """TPC-H Q6 analog: pure filter + single aggregate (M5/A7)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount",
+                                    "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        disc = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        mask = (
+            (ship >= np.datetime64("1995-01-01"))
+            & (ship < np.datetime64("1997-01-01"))
+            & (qty < 24)
+            & (disc >= 3)
+            & (disc <= 8)
+        )
+        base = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))[mask]
+        return pa.table({"revenue_c4": pa.array(base * disc[mask])})
+
+    agg = ds.map_batches(prep, batch_format="pyarrow").aggregate(
+        Sum("revenue_c4", alias_name="revenue_c4"),
+        Count(alias_name="n_rows"),
+    )  # Dataset.aggregate (no groupby) returns a plain dict
+    return pd.DataFrame([agg])
+
+
+SQL_Q06 = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c4,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity < 24
+  AND CAST(ROUND(l_discount*100) AS BIGINT) BETWEEN 3 AND 8
+"""
+
+
+def q07_distinct_flags(sf_dir: str):
+    """DISTINCT via groupby (SURVEY §2.7 set ops)."""
+    from ray.data.aggregate import Count
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return out.drop_columns(["n"])
+
+
+SQL_Q07 = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q08_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the event stream (§2.8 analog):
+    hour bucket as BIGINT epoch seconds."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000 * 3600
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour_epoch": pa.array(hour),
+                "value_cents": pa.array(
+                    _cents(t["value"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour_epoch"])
+        .aggregate(
+            Sum("value_cents", alias_name="value_cents"),
+            Count(alias_name="n_events"),
+        )
+    )
+
+
+SQL_Q08 = """
+SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def q09_top_users(sf_dir: str):
+    """Aggregate + top-k (O5/O6 heavy-hitter pattern)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "value_cents": pa.array(
+                    _cents(t["value"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("value_cents", alias_name="value_cents"),
+            Count(alias_name="n_events"),
+        )
+        .sort(["value_cents", "user_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_Q09 = """
+SELECT user_id, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id ORDER BY value_cents DESC, user_id LIMIT 20
+"""
+
+
+def q10_doc_dedup_exact(sf_dir: str):
+    """Exact dedup: hash-partition by content hash, keep min id."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dd.exact_dedup(ds, "text", "doc_id")
+    return out.select_columns(["doc_id", "dup_count"])
+
+
+SQL_Q10 = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY text
+"""
+
+
+def q11_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: tx.token_stats(b)[["doc_id", "n_tokens", "n_distinct"]],
+        batch_format="pandas",
+    )
+
+
+SQL_Q11 = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct
+FROM documents
+"""
+
+
+def q12_word_counts(sf_dir: str):
+    """Word count with per-batch combiner before the shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return (
+        ds.map_batches(tx.word_count_partial, batch_format="pandas")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+SQL_Q12 = f"""
+SELECT word, COUNT(*) AS cnt FROM
+  (SELECT unnest({_TOKS}) AS word FROM documents)
+GROUP BY word
+"""
+
+
+def q13_quality(sf_dir: str):
+    """Quality scoring as integer ppm ratios (training-data op)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        toks = tx.tokenize_series(b["text"])
+        n = toks.str.len().astype("int64")
+        stop = toks.map(lambda t: sum(w in STOPWORDS for w in t)).astype("int64")
+        distinct = toks.map(lambda t: len(set(t))).astype("int64")
+        chars = toks.map(lambda t: sum(len(w) for w in t)).astype("int64")
+        out = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": n,
+                "stopword_ppm": stop * 1_000_000 // n.clip(lower=1),
+                "type_token_ppm": distinct * 1_000_000 // n.clip(lower=1),
+                "mean_token_len_ppm": chars * 1_000_000 // n.clip(lower=1),
+            }
+        )
+        return out[n > 0]
+
+    return ds.map_batches(prep, batch_format="pandas")
+
+
+SQL_Q13 = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks, text FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1000000 // len(toks)
+         AS stopword_ppm,
+       len(list_distinct(toks)) * 1000000 // len(toks) AS type_token_ppm,
+       list_aggregate(list_transform(toks, x -> len(x)), 'sum') * 1000000
+         // len(toks) AS mean_token_len_ppm
+FROM t WHERE len(toks) > 0
+"""
+
+
+def q14_langid(sf_dir: str):
+    """Stopword-profile language ID (argmax, lexicographic ties)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(tx.langid, batch_format="pandas")
+
+
+def _langid_sql() -> str:
+    langs = sorted(LANG_PROFILES)
+    score_cols = ",\n       ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS {}".format(
+            ",".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang])), lang
+        )
+        for lang in langs
+    )
+    case = " ".join(
+        "WHEN {} THEN '{}'".format(
+            " AND ".join(f"{lang} >= {o}" for o in langs[i + 1 :]) or "TRUE", lang
+        )
+        for i, lang in enumerate(langs)
+    )
+    greatest = ", ".join(langs)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {score_cols} FROM t)
+SELECT doc_id, CASE {case} END AS lang_pred,
+       CAST(GREATEST({greatest}) AS BIGINT) AS lang_score
+FROM s
+"""
+
+
+def q15_embedding_topk(sf_dir: str):
+    """Brute-force cosine top-k vs broadcast query (similarity search
+    baseline)."""
+    from ..stages.similarity import cosine_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q = np.asarray(
+        emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0]
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = cosine_topk(ds, q[None, :], k=10)
+    out = out.drop(columns=["query_id"])
+    out["cos_sim"] = np.round(out["cos_sim"].astype(np.float64), 3)
+    return out
+
+
+SQL_Q15 = """
+SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(e.embedding, q.embedding)
+                            AS DOUBLE), 3) AS cos_sim
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def q16_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidates (rows-only check: LSH banding
+    is not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q17_simhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(dd.simhash_batch, batch_format="pandas")
+
+
+def q18_jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs: shingle explode →
+    groupby(shingle) → pair counts → ratio filter."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    K = 5
+
+    def shingles(b: pd.DataFrame) -> pd.DataFrame:
+        ids, shs = [], []
+        sizes_id, sizes_n = [], []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            toks = tx.TOKEN_RE.findall(str(text).lower())
+            ss = set(
+                " ".join(toks[i : i + K]) for i in range(max(len(toks) - K + 1, 0))
+            )
+            for s in ss:
+                ids.append(doc_id)
+                shs.append(s)
+        return pd.DataFrame({"doc_id": ids, "shingle": shs})
+
+    sh = ds.map_batches(shingles, batch_format="pandas").materialize()
+    sizes = sh.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
+    n_of = dict(zip(sizes["doc_id"], sizes["n"]))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"ia": a, "ib": b})
+
+    pr = sh.groupby("shingle").map_groups(pairs, batch_format="pandas").to_pandas()
+    if len(pr) == 0:
+        return pd.DataFrame({"ia": [], "ib": [], "jaccard": []})
+    cnt = pr.groupby(["ia", "ib"], as_index=False).size()
+    na = cnt["ia"].map(n_of).to_numpy(np.int64)
+    nb = cnt["ib"].map(n_of).to_numpy(np.int64)
+    inter = cnt["size"].to_numpy(np.int64)
+    j = inter * 1.0 / (na + nb - inter)
+    out = pd.DataFrame(
+        {"ia": cnt["ia"], "ib": cnt["ib"], "jaccard": np.round(j, 6)}
+    )
+    return out[out["jaccard"] >= 0.5].sort_values(["ia", "ib"]).reset_index(drop=True)
+
+
+SQL_Q18 = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct([toks[i+1]||' '||toks[i+2]||' '||toks[i+3]
+        ||' '||toks[i+4]||' '||toks[i+5] for i in range(len(toks)-4)]) AS s FROM t),
+e AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh),
+p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter,
+             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT ia, ib, ROUND(inter*1.0/(na+nb-inter), 6) AS jaccard
+FROM p WHERE inter*1.0/(na+nb-inter) >= 0.5
+"""
+
+
+def q19_sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user: groupby + ordered scan
+    in map_groups (streaming-shaped workload pattern)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64").to_numpy()
+        brk = (np.diff(us) > 1_800_000_000).sum() if len(us) > 1 else 0
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [int(brk) + 1],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+SQL_Q19 = """
+WITH e AS (
+  SELECT user_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions
+FROM e GROUP BY user_id
+"""
+
+
+def q22_inverted_index(sf_dir: str):
+    """Reverse-index word rows (A1/A4 positions; integer columns only
+    so the oracle compare is exact — rank weighting is covered by
+    pipelines/index.py unit tests)."""
+    from .index import word_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: word_rows(b)[["word", "page_index", "position"]],
+        batch_format="pandas",
+    )
+    return out
+
+
+SQL_Q22 = f"""
+WITH t AS (SELECT doc_id, {_TOKS_NS} AS toks FROM documents),
+x AS (SELECT doc_id, unnest(toks) AS word,
+             generate_subscripts(toks, 1) - 1 AS position FROM t)
+SELECT word, doc_id AS page_index, CAST(MIN(position) AS INT) AS position
+FROM x GROUP BY word, doc_id
+"""
+
+
+def q26_brand_volume(sf_dir: str):
+    """lineitem ⋈ part broadcast join + grouped aggregate."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    brand = dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist()))
+    ref = ray.put(brand)
+
+    class AddBrand:
+        def __init__(self):
+            self.brand = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            b = [self.brand.get(k, "") for k in t["l_partkey"].to_pylist()]
+            return pa.table(
+                {
+                    "p_brand": pa.array(b, pa.string()),
+                    "qty_cents": pa.array(
+                        _cents(t["l_quantity"].to_numpy(zero_copy_only=False))
+                    ),
+                }
+            )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        .map_batches(AddBrand, batch_format="pyarrow", concurrency=2)
+        .groupby("p_brand")
+        .aggregate(
+            Sum("qty_cents", alias_name="qty_cents"), Count(alias_name="n_items")
+        )
+    )
+
+
+SQL_Q26 = """
+SELECT p.p_brand, CAST(SUM(CAST(ROUND(l.l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+def q27_best_order_per_customer(sf_dir: str):
+    """Windowed argmax per group (J5-style top-n in map_groups)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["o_totalprice"].to_numpy()
+        cents = np.round(c * 100).astype(np.int64)
+        g = g.assign(total_cents=cents).sort_values(
+            ["total_cents", "o_orderkey"], ascending=[False, True]
+        )
+        return g.head(1)[["o_custkey", "o_orderkey", "total_cents"]]
+
+    return ds.groupby("o_custkey").map_groups(best, batch_format="pandas")
+
+
+SQL_Q27 = """
+SELECT o_custkey, o_orderkey, total_cents FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC,
+                                     o_orderkey) AS rn
+  FROM orders) WHERE rn = 1
+"""
+
+
+# ------------------------------------------------- rows-only (non-SQL) ops
+
+
+def q20_phash_dedup(sf_dir: str):
+    """phash-exact image dedup over the synthetic images table (north
+    rule §2.7 payload analog; table synthesized deterministically)."""
+    import ray
+
+    from ..sources.synth import gen_images
+
+    images, _ = gen_images(400, seed=42)
+    ds = ray.data.from_arrow(images.select(["image_id", "phash", "w", "h"]))
+    return dd.phash_dedup(ds).select_columns(["image_id", "phash", "dup_count"])
+
+
+def q21_crawl_order(sf_dir: str):
+    """Flagship: deterministic crawl over the synthetic web — returns
+    the crawl-order table (conformance vs the oracle is asserted in
+    tests; here the driver checks stability/rows)."""
+    from ..sources import synth
+    from .crawl import run_crawl
+    from .oracle import CrawlConfig
+
+    images, truth = synth.gen_images(80, seed=42)
+    store = synth.gen_web(500, 80, seed=42)
+    synth.attach_captions(store, images)
+    seeds = synth.gen_seeds(store, 8, seed=42)
+    cfg = CrawlConfig(shard_count=4, per_shard_batch=100, seen_shards=2)
+    res = run_crawl(
+        seeds, store, images, truth, cfg=cfg,
+        out_dir="/tmp/raycrawl_q21", n_host_actors=2, n_fetch_actors=2,
+    )
+    return res.crawl_order
+
+
+def q23_search(sf_dir: str):
+    """Multi-term AND search with proximity scoring over the built
+    reverse index (reference menu 4; O3-O8/J4)."""
+    from .index import SearchIndex, build_index
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    dict_ds = build_index(docs)
+    tbl = pa.Table.from_pandas(dict_ds.to_pandas(), preserve_index=False)
+    docs_pdf = docs.select_columns(["doc_id", "source"]).to_pandas()
+    host = dict(zip(docs_pdf["doc_id"], docs_pdf["source"]))
+    idx = SearchIndex(tbl, doc_host=host)
+    out = idx.search("query filter", max_show=50)
+    out["final_rank"] = np.round(out["final_rank"].astype(np.float64), 6)
+    return out
+
+
+def q24_multimodal(sf_dir: str):
+    """Image decode/resize actor-pool stage over binary payloads."""
+    import ray
+
+    from ..sources.synth import gen_images
+    from ..stages.multimodal import ImageDecodeResize
+
+    images, _ = gen_images(200, seed=42)
+    ds = ray.data.from_arrow(images.select(["image_id", "bytes"]))
+    return ds.map_batches(
+        ImageDecodeResize, batch_format="pyarrow", concurrency=2, batch_size=64
+    ).select_columns(["image_id", "mean_pixel", "phash", "decode_ok"])
+
+
+def q25_pagerank(sf_dir: str):
+    """PageRank over the crawl's link graph (J3/A5)."""
+    import ray
+
+    from ..sources import synth
+    from .crawl import run_crawl
+    from .oracle import CrawlConfig
+    from .rank import edges_from_content, pagerank
+
+    images, truth = synth.gen_images(80, seed=42)
+    store = synth.gen_web(500, 80, seed=42)
+    synth.attach_captions(store, images)
+    seeds = synth.gen_seeds(store, 8, seed=42)
+    cfg = CrawlConfig(shard_count=4, per_shard_batch=100, seen_shards=2)
+    res = run_crawl(
+        seeds, store, images, truth, cfg=cfg,
+        out_dir="/tmp/raycrawl_q25", n_host_actors=2, n_fetch_actors=2,
+    )
+    crawled = set(res.content["url_hash"].to_pylist())
+    edges = edges_from_content(res.content, crawled)
+    if len(edges) == 0:
+        return pd.DataFrame({"node": [], "rank": []})
+    eds = ray.data.from_pandas(edges)
+    out = pagerank(eds, np.array(sorted(crawled), np.uint64), n_iters=5)
+    out["rank"] = np.round(out["rank"], 6)
+    return out
+
+
+def q28_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate nearest neighbors (scale path)."""
+    from ..stages.similarity import ivf_build_centroids, ivf_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q = np.asarray(
+        emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0]
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = ivf_build_centroids(ds, n_centroids=8)
+    out = ivf_topk(ds, q[None, :], cent, k=10, n_probe=3)
+    out = out.drop(columns=["query_id"])
+    out["cos_sim"] = np.round(out["cos_sim"].astype(np.float64), 3)
+    return out
+
+
+def q29_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs via hyperplane LSH."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dd.embedding_neardup_pairs(ds, threshold=0.99)
+
+
+def q30_fingerprint(sf_dir: str):
+    """Rolling-hash document fingerprints (order-sensitive identity)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(tx.fingerprint, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ catalog
+
+
+def queries():
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_top_orders": q02_top_orders,
+        "q03_revenue_by_segment": q03_revenue_by_segment,
+        "q04_customers_without_orders": q04_customers_without_orders,
+        "q05_nation_orders": q05_nation_orders,
+        "q06_revenue_filter": q06_revenue_filter,
+        "q07_distinct_flags": q07_distinct_flags,
+        "q08_events_hourly": q08_events_hourly,
+        "q09_top_users": q09_top_users,
+        "q10_doc_dedup_exact": q10_doc_dedup_exact,
+        "q11_token_stats": q11_token_stats,
+        "q12_word_counts": q12_word_counts,
+        "q13_quality": q13_quality,
+        "q14_langid": q14_langid,
+        "q15_embedding_topk": q15_embedding_topk,
+        "q16_minhash_pairs": q16_minhash_pairs,
+        "q17_simhash": q17_simhash,
+        "q18_jaccard_pairs": q18_jaccard_pairs,
+        "q19_sessionize": q19_sessionize,
+        "q20_phash_dedup": q20_phash_dedup,
+        "q21_crawl_order": q21_crawl_order,
+        "q22_inverted_index": q22_inverted_index,
+        "q23_search": q23_search,
+        "q24_multimodal": q24_multimodal,
+        "q25_pagerank": q25_pagerank,
+        "q26_brand_volume": q26_brand_volume,
+        "q27_best_order_per_customer": q27_best_order_per_customer,
+        "q28_ivf_topk": q28_ivf_topk,
+        "q29_embedding_neardup": q29_embedding_neardup,
+        "q30_fingerprint": q30_fingerprint,
+    }
+
+
+def oracle_sql():
+    return {
+        "q01_pricing_summary": SQL_Q01,
+        "q02_top_orders": SQL_Q02,
+        "q03_revenue_by_segment": SQL_Q03,
+        "q04_customers_without_orders": SQL_Q04,
+        "q05_nation_orders": SQL_Q05,
+        "q06_revenue_filter": SQL_Q06,
+        "q07_distinct_flags": SQL_Q07,
+        "q08_events_hourly": SQL_Q08,
+        "q09_top_users": SQL_Q09,
+        "q10_doc_dedup_exact": SQL_Q10,
+        "q11_token_stats": SQL_Q11,
+        "q12_word_counts": SQL_Q12,
+        "q13_quality": SQL_Q13,
+        "q14_langid": _langid_sql(),
+        "q15_embedding_topk": SQL_Q15,
+        "q18_jaccard_pairs": SQL_Q18,
+        "q19_sessionize": SQL_Q19,
+        "q22_inverted_index": SQL_Q22,
+        "q26_brand_volume": SQL_Q26,
+        "q27_best_order_per_customer": SQL_Q27,
+    }

@@ -1,0 +1,248 @@
+"""Deduplication operators (exact, MinHash+LSH, SimHash, n-gram
+Jaccard, phash, embedding-cosine) — Ray-Data-first.
+
+The reference's only dedup is exact URL identity (J1,
+``SearchEngine.h:814-835``); these are the payload/content-level
+operators a 100 TB training-data pipeline needs (build charter), each
+expressed as map_batches (vectorized sketching) + a keyed shuffle
+(groupby on hash/band/bucket) + per-group resolution — the partial/
+combiner-first pattern, never a driver-side loop over rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import fnv1a64_batch
+from .text import TOKEN_RE, hash_word, shingle_set
+
+# ------------------------------------------------------------- exact dedup
+
+
+def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    h = fnv1a64_batch(batch[text_col].combine_chunks())
+    return batch.append_column("text_hash", pa.array(h, type=pa.uint64()))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """hash-partition by content hash → per-group keep min(id).
+
+    Returns (survivors dataset with dup_count per kept row).
+    """
+    hashed = ds.map_batches(
+        lambda t: add_text_hash(t, text_col), batch_format="pyarrow"
+    )
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        first = g.head(1).copy()
+        first["dup_count"] = len(g)
+        return first
+
+    return hashed.groupby("text_hash").map_groups(keep_first, batch_format="pandas")
+
+
+# --------------------------------------------------------------- minhash LSH
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    batch: pd.DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """Per-doc MinHash signature (vectorized over each doc's shingle set)."""
+    a, b = _minhash_params(num_perm, seed)
+    ids, sigs = [], []
+    for doc_id, text in zip(batch[id_col], batch[text_col]):
+        toks = TOKEN_RE.findall(str(text).lower())
+        sh = shingle_set(toks, shingle_k)
+        if not sh:
+            sig = np.full(num_perm, np.uint64(_MERSENNE))
+        else:
+            x = np.fromiter(sh, np.uint64, len(sh))
+            with np.errstate(over="ignore"):
+                m = (x[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+            sig = m.min(axis=0)
+        ids.append(doc_id)
+        sigs.append(sig)
+    return pd.DataFrame({id_col: ids, "sig": [s.tolist() for s in sigs]})
+
+
+def lsh_bands(
+    sig_df: pd.DataFrame, id_col: str = "doc_id", bands: int = 16
+) -> pd.DataFrame:
+    """Explode signatures to (band_id, band_hash, id) rows for the
+    bucket groupby."""
+    rows_id, rows_band, rows_hash = [], [], []
+    for doc_id, sig in zip(sig_df[id_col], sig_df["sig"]):
+        sig = np.asarray(sig, np.uint64)
+        r = len(sig) // bands
+        for bnd in range(bands):
+            chunk = sig[bnd * r : (bnd + 1) * r]
+            h = 14695981039346656037
+            for v in chunk:
+                h = ((h ^ int(v)) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+            rows_id.append(doc_id)
+            rows_band.append(bnd)
+            rows_hash.append(np.uint64(h))
+    return pd.DataFrame(
+        {"band_id": rows_band, "band_hash": rows_hash, id_col: rows_id}
+    )
+
+
+def minhash_lsh_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 7,
+):
+    """shingle → minhash → band buckets → candidate pairs → verify
+    estimated Jaccard ≥ threshold.  Returns dataset of
+    (id_a, id_b, jaccard_est) with id_a < id_b."""
+    sigs = ds.map_batches(
+        lambda b: minhash_signatures(
+            b, text_col, id_col, num_perm, shingle_k, seed
+        ),
+        batch_format="pandas",
+    )
+    sig_mat = sigs.materialize()
+    bands_ds = sig_mat.map_batches(
+        lambda b: lsh_bands(b, id_col, bands), batch_format="pandas"
+    )
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].unique())
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    cand = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
+        pairs_of_bucket, batch_format="pandas"
+    )
+    cand_pdf = cand.to_pandas()
+    if len(cand_pdf) == 0:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_est": []})
+    cand_pdf = cand_pdf.drop_duplicates()
+    sig_pdf = sig_mat.to_pandas().set_index(id_col)["sig"]
+    a = np.stack([np.asarray(sig_pdf[i], np.uint64) for i in cand_pdf["id_a"]])
+    b = np.stack([np.asarray(sig_pdf[i], np.uint64) for i in cand_pdf["id_b"]])
+    est = (a == b).mean(axis=1)
+    cand_pdf["jaccard_est"] = est
+    out = cand_pdf[cand_pdf["jaccard_est"] >= threshold].reset_index(drop=True)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def simhash_batch(
+    batch: pd.DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> pd.DataFrame:
+    """64-bit SimHash over token hashes (weight = term frequency)."""
+    out_ids, out_hash = [], []
+    for doc_id, text in zip(batch[id_col], batch[text_col]):
+        toks = TOKEN_RE.findall(str(text).lower())
+        if not toks:
+            out_ids.append(doc_id)
+            out_hash.append(0)
+            continue
+        hs = np.array([hash_word(w) for w in toks], np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        v = (2 * bits - 1).sum(axis=0)
+        sh = 0
+        for bit in range(64):
+            if v[bit] > 0:
+                sh |= 1 << bit
+        out_ids.append(doc_id)
+        out_hash.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+    return pd.DataFrame({id_col: out_ids, "simhash": np.array(out_hash, np.int64)})
+
+
+# ---------------------------------------------------------------- phash dedup
+
+
+def phash_dedup(ds, phash_col: str = "phash", id_col: str = "image_id"):
+    """Exact perceptual-hash dedup: groupby(phash) → keep min(id),
+    count suppressed (SURVEY.md §2.7 payload-level analog of J1)."""
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        first = g.head(1).copy()
+        first["dup_count"] = len(g)
+        return first
+
+    return ds.groupby(phash_col).map_groups(keep_first, batch_format="pandas")
+
+
+# ----------------------------------------------------- embedding near-dup
+
+
+def embedding_neardup_pairs(
+    ds,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 5,
+):
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets +
+    in-bucket exact verify.  Pairs may be missed across buckets (LSH
+    recall < 1); the exact variant is a full O(n²) matmul — see
+    stages/similarity.py for the brute-force path."""
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(batch[emb_col].to_numpy())
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((emb.shape[1], n_planes))
+        signs = (emb @ planes) > 0
+        bucket = np.zeros(len(batch), np.int64)
+        for k in range(n_planes):
+            bucket = bucket * 2 + signs[:, k]
+        return pd.DataFrame(
+            {id_col: batch[id_col], "bucket": bucket, emb_col: batch[emb_col]}
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        norm[norm == 0] = 1
+        sims = (emb / norm) @ (emb / norm).T
+        ids = g[id_col].to_numpy()
+        ia, ib, s = [], [], []
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                if sims[i, j] >= threshold:
+                    lo, hi = sorted((ids[i], ids[j]))
+                    ia.append(lo)
+                    ib.append(hi)
+                    s.append(round(float(sims[i, j]), 6))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos_sim": s})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )

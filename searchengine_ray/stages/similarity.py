@@ -1,0 +1,118 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the exact baseline: the query matrix is
+broadcast once (``ray.put``) and each batch does one numpy matmul —
+the map-side is embarrassingly parallel, the reduce is a tiny global
+top-k merge (partial top-k per batch first, so only k rows per batch
+reach the sort).  The scale path is the IVF-style variant: cluster
+centroids broadcast, batches route vectors to nearest centroids,
+probe only n_probe partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1
+    return m / n
+
+
+class CosineTopK:
+    """map_batches callable: per-batch partial top-k vs broadcast query."""
+
+    def __init__(self, query_ref, k: int, id_col="vec_id", emb_col="embedding"):
+        try:
+            import ray
+
+            q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        except Exception:
+            q = query_ref
+        self.q = _normalize(np.atleast_2d(np.asarray(q)))
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        emb = _normalize(np.stack(batch[self.emb_col].to_numpy()))
+        sims = emb @ self.q.T  # (n, nq)
+        out = []
+        for qi in range(self.q.shape[0]):
+            s = sims[:, qi]
+            k = min(self.k, len(s))
+            idx = np.argpartition(-s, k - 1)[:k]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qi,
+                        self.id_col: batch[self.id_col].to_numpy()[idx],
+                        "cos_sim": np.round(s[idx], 6),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def cosine_topk(ds, query_vecs, k: int = 10, id_col="vec_id", emb_col="embedding"):
+    """Exact global top-k by cosine: partial top-k per batch → final
+    sort+limit on ≤ k·num_batches rows (never the full table)."""
+    try:
+        import ray
+
+        qref = ray.put(np.asarray(query_vecs))
+    except Exception:
+        qref = np.asarray(query_vecs)
+    partial = ds.map_batches(
+        CosineTopK(qref, k, id_col, emb_col), batch_format="pandas"
+    )
+    pdf = partial.to_pandas()
+    out = (
+        pdf.sort_values(["query_id", "cos_sim", id_col], ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def ivf_build_centroids(ds, n_centroids: int, emb_col="embedding",
+                        seed: int = 11, sample: int = 4096, iters: int = 5):
+    """k-means-lite centroids from a driver-side sample (centroids are
+    the broadcast small side; the full table never materializes)."""
+    pdf = ds.limit(sample).to_pandas()
+    x = _normalize(np.stack(pdf[emb_col].to_numpy()))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_topk(ds, query_vecs, centroids, k: int = 10, n_probe: int = 4,
+             id_col="vec_id", emb_col="embedding"):
+    """IVF-style ANN: batches keep only vectors whose nearest centroid
+    is among the query's n_probe closest — the scale path (probes a
+    fraction of the table; recall < 1 by design)."""
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs)))
+    cent = np.asarray(centroids)
+    probe = set(
+        np.argsort(-(q @ cent.T), axis=1)[:, :n_probe].ravel().tolist()
+    )
+
+    def filter_probe(batch: pd.DataFrame) -> pd.DataFrame:
+        emb = _normalize(np.stack(batch[emb_col].to_numpy()))
+        assign = np.argmax(emb @ cent.T, axis=1)
+        mask = np.isin(assign, list(probe))
+        return batch[mask]
+
+    pruned = ds.map_batches(filter_probe, batch_format="pandas")
+    return cosine_topk(pruned, query_vecs, k=k, id_col=id_col, emb_col=emb_col)
