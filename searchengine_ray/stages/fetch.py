@@ -2,8 +2,8 @@
 
 The reference fetches with one OS thread per connection
 (``SearchEngine.cpp:884-888``, ``httpDownload.h:77-140``); here fetch
-is a ``map_batches`` actor-pool stage: the synthetic web store and the
-images payload table are broadcast ONCE via ``ray.put`` and read in
+is a persistent actor pool: the synthetic web store and the images
+payload table are broadcast ONCE via ``ray.put`` and read in
 ``__init__`` (once per actor) — never re-shipped per batch.
 
 Per page the actor: renders the page HTML deterministically, shortens
@@ -13,6 +13,14 @@ sha vs truth — exact because truth is derived from post-codec pixels,
 with the lossy codec's PSNR ≥ 40 dB bound asserted by codec tests —
 plus caption equality and phash consistency).
 
+Scale design: the actor ALSO
+* canonicalizes/filters the extracted links into admission candidates
+  (so the per-epoch candidate prep is parallel, not driver-serial), and
+* writes the binary payload parquet partition itself
+  (``payload_dir/epoch=E/part-<first_seq>.parquet``) so image bytes
+  never flow through the driver — only small metadata tables do
+  (SURVEY.md §7.5#5: keep payloads out of the control path).
+
 With a live network this class would swap the store lookup for an
 async HTTP client behind the same interface; everything downstream is
 unchanged.
@@ -21,10 +29,13 @@ unchanged.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
+from ..functions import urlkernel as uk
 from ..functions.urlkernel import split_host
 from ..sources import synth
 from ..sources.codec import decode_image, phash64
@@ -39,7 +50,6 @@ CONTENT_SCHEMA = pa.schema(
         ("title", pa.string()),
         ("image_id", pa.string()),
         ("caption", pa.string()),
-        ("bytes", pa.binary()),
         ("w", pa.int32()),
         ("h", pa.int32()),
         ("fmt", pa.string()),
@@ -49,31 +59,112 @@ CONTENT_SCHEMA = pa.schema(
     ]
 )
 
+PAYLOAD_SCHEMA = pa.schema(
+    [
+        ("fetch_seq", pa.int64()),
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+    ]
+)
+
+CAND_SCHEMA = pa.schema(
+    [
+        ("fetch_seq", pa.int64()),
+        ("pos", pa.int32()),
+        ("raw", pa.string()),
+        ("url", pa.string()),
+        ("url_hash", pa.uint64()),
+        ("host_hash", pa.uint64()),
+        ("host", pa.string()),
+        ("shard", pa.int32()),
+    ]
+)
+
+
+def make_candidates(
+    raw_links: list[str], fseqs: list[int], poss: list[int], shard_count: int
+) -> pa.Table:
+    """Canonicalize + static-filter raw link candidates (vectorized);
+    output stays in (fetch_seq, pos) order."""
+    if not raw_links:
+        return pa.table({k.name: [] for k in CAND_SCHEMA}, schema=CAND_SCHEMA)
+    raw = pa.array(raw_links, type=pa.string())
+    canon, valid = uk.truncate_batch(raw)
+    fmask, _ = uk.filter_mask_batch(canon)
+    keep = valid & fmask
+    idx = np.nonzero(keep)[0]
+    canon_k = canon.take(pa.array(idx))
+    hosts = uk.split_host_batch(canon_k)
+    return pa.table(
+        {
+            "fetch_seq": pa.array(np.asarray(fseqs, np.int64)[idx]),
+            "pos": pa.array(np.asarray(poss, np.int32)[idx]),
+            "raw": raw.take(pa.array(idx)),
+            "url": canon_k,
+            "url_hash": pa.array(uk.url_hash_batch(canon_k), type=pa.uint64()),
+            "host_hash": pa.array(uk.host_hash_batch(hosts), type=pa.uint64()),
+            "host": hosts,
+            "shard": pa.array(
+                (uk.collision_hash_batch(hosts) % np.uint64(shard_count)).astype(
+                    np.int32
+                )
+            ),
+        },
+        schema=CAND_SCHEMA,
+    )
+
 
 class FetchDecode:
-    """Callable class for ``map_batches(..., concurrency=N)``."""
+    """Persistent fetch/decode actor (wrapped ray.remote by the engine)."""
 
-    def __init__(self, store_ref, images_ref, truth_ref=None):
+    def __init__(
+        self,
+        store_ref,
+        images_ref,
+        truth_ref=None,
+        shard_count: int = 8,
+        payload_dir: str | None = None,
+    ):
         import ray
 
         def _get(r):
             return ray.get(r) if isinstance(r, ray.ObjectRef) else r
 
         self.store: synth.WebStore = _get(store_ref)
+        # keep the broadcast images table as (plasma-backed) Arrow —
+        # ONE shared physical copy across every actor on the node;
+        # per-actor to_pylist() copies made each actor fault in 100+ MB
+        # of private pages (costly in this VM, ~8 MB/actor now)
         images: pa.Table = _get(images_ref)
-        self.img_bytes = images.column("bytes").to_pylist()
+        self.img_bytes = images.column("bytes").combine_chunks()
         self.img_caption = images.column("caption").to_pylist()
         self.img_fmt = images.column("fmt").to_pylist()
-        self.img_w = images.column("w").to_pylist()
-        self.img_h = images.column("h").to_pylist()
         self.img_phash = images.column("phash").to_pylist()
         truth = _get(truth_ref) if truth_ref is not None else None
         self.truth_sha = truth.column("pixels_sha256").to_pylist() if truth else None
+        self.shard_count = shard_count
+        self.payload_dir = payload_dir
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def ready(self) -> bool:
+        """Warmup barrier: constructing 20+ actors lazily means every
+        early epoch's gather waits on a cold actor; the engine warms
+        the pool once up front instead."""
+        return True
+
+    def __call__(self, batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+        """picks chunk → (content metadata table, candidates table);
+        payload bytes written to parquet here (if payload_dir set)."""
         store = self.store
         out = {k.name: [] for k in CONTENT_SCHEMA}
+        pay = {k.name: [] for k in PAYLOAD_SCHEMA}
+        raw_links: list[str] = []
+        link_seq: list[int] = []
+        link_pos: list[int] = []
         content_rows = batch["content_row"].to_numpy(zero_copy_only=False)
+        fseqs = batch["fetch_seq"].to_numpy(zero_copy_only=False)
+        epochs = batch["epoch"].to_numpy(zero_copy_only=False)
+        urls = batch["url"].to_pylist()
+        uhashes = batch["url_hash"].to_numpy(zero_copy_only=False)
         for i in range(len(batch)):
             row = int(content_rows[i])
             if row < 0:
@@ -88,7 +179,7 @@ class FetchDecode:
             )
             short = shorten_html(html)
             links = extract_links(short, host, https)
-            data = self.img_bytes[img]
+            data = self.img_bytes[img].as_py()
             pixels, fmt = decode_image(data)
             ph = phash64(pixels)
             ok = (
@@ -101,18 +192,38 @@ class FetchDecode:
                     hashlib.sha256(pixels.tobytes()).hexdigest()
                     == self.truth_sha[img]
                 )
-            out["fetch_seq"].append(int(batch["fetch_seq"][i].as_py()))
-            out["epoch"].append(int(batch["epoch"][i].as_py()))
-            out["url"].append(batch["url"][i].as_py())
-            out["url_hash"].append(int(batch["url_hash"][i].as_py()))
+            fseq = int(fseqs[i])
+            out["fetch_seq"].append(fseq)
+            out["epoch"].append(int(epochs[i]))
+            out["url"].append(urls[i])
+            out["url_hash"].append(int(uhashes[i]))
             out["title"].append(get_title(html))
             out["image_id"].append(store.image_ids[row])
             out["caption"].append(caption)
-            out["bytes"].append(data)
             out["w"].append(pixels.shape[1])
             out["h"].append(pixels.shape[0])
             out["fmt"].append(fmt)
             out["phash"].append(ph)
             out["invariant_ok"].append(bool(ok))
             out["links"].append(links)
-        return pa.table(out, schema=CONTENT_SCHEMA)
+            pay["fetch_seq"].append(fseq)
+            pay["image_id"].append(store.image_ids[row])
+            pay["bytes"].append(data)
+            raw_links.extend(links)
+            link_seq.extend([fseq] * len(links))
+            link_pos.extend(range(len(links)))
+        content = pa.table(out, schema=CONTENT_SCHEMA)
+        if self.payload_dir and len(content):
+            d = os.path.join(self.payload_dir, f"epoch={int(epochs[0])}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                pa.table(pay, schema=PAYLOAD_SCHEMA),
+                os.path.join(d, f"part-{pay['fetch_seq'][0]:010d}.parquet"),
+                # payload bytes are already codec-compressed — a second
+                # (snappy/dict) pass burns CPU for ~0 gain and was the
+                # dominant cost under a concurrent fetch pool
+                compression="none",
+                use_dictionary=False,
+            )
+        cand = make_candidates(raw_links, link_seq, link_pos, self.shard_count)
+        return content, cand

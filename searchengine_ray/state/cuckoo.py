@@ -180,26 +180,26 @@ class SeenShard:
 
     def test_and_add(self, hashes: np.ndarray) -> np.ndarray:
         h = hashes.astype(np.uint64, copy=False)
-        maybe_seen = self.filter.contains_batch(h)
-        new_mask = np.zeros(len(h), bool)
+        n = len(h)
+        new_mask = np.zeros(n, bool)
+        if n == 0:
+            return new_mask
+        # within-batch dedup: keep first occurrence only (np.unique's
+        # return_index gives the first occurrence per value)
+        uniq, first_idx = np.unique(h, return_index=True)
+        maybe_seen = self.filter.contains_batch(uniq)
+        # filter negative → definitely new; filter positive → resolve
+        # against the exact store (false positives stay exact-correct)
         exact = self.exact
-        to_insert = []
-        seen_in_batch: set[int] = set()
-        for k in range(len(h)):
-            v = int(h[k])
-            if v in seen_in_batch:
-                continue
-            if maybe_seen[k] and v in exact:
-                continue
-            # filter negative → definitely new; filter positive but not in
-            # exact store → false positive → still new
-            seen_in_batch.add(v)
-            new_mask[k] = True
-            to_insert.append(v)
-        if to_insert:
-            arr = np.array(to_insert, np.uint64)
-            exact.update(to_insert)
-            self.filter.add_batch(arr)
+        is_new = ~maybe_seen
+        for k in np.nonzero(maybe_seen)[0]:
+            if int(uniq[k]) not in exact:
+                is_new[k] = True
+        new_vals = uniq[is_new]
+        if len(new_vals):
+            exact.update(new_vals.tolist())
+            self.filter.add_batch(new_vals)
+            new_mask[first_idx[is_new]] = True
         return new_mask
 
     def remove(self, hashes: np.ndarray) -> None:

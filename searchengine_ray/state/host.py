@@ -83,7 +83,19 @@ class HostShards:
     def dequeue_epoch(self, epoch: int) -> pa.Table:
         """Politeness-greedy per-shard selection + fetch-outcome
         resolution, in (t_sched, enqueue_seq) order per shard (host
-        health updates are host-local, so per-shard order suffices)."""
+        health updates are host-local, so per-shard order suffices).
+
+        Heap-based O(B log H) restatement of the oracle's O(B·n) scan
+        (``pipelines/oracle.py dequeue_epoch`` — the naive spec; the
+        two are cross-validated by the conformance tests): among
+        politeness-eligible hosts pick the entry with the lowest
+        enqueue_seq; otherwise advance the clock to the nearest
+        host_next (ties by earliest entry seq, matching the
+        reference's first-minimum in-order scan,
+        ``SearchEngine.cpp:731-749``)."""
+        import heapq
+        from collections import deque
+
         cfg = self.cfg
         t0 = epoch * cfg.epoch_ms
         picks = []  # (t, seq, url, url_hash, host_hash, shard)
@@ -92,41 +104,85 @@ class HostShards:
             if not entries:
                 continue
             t = t0
+            by_host: dict[int, deque] = {}
+            for e in entries:  # entries already in enqueue_seq order
+                by_host.setdefault(e[3], deque()).append(e)
+            ready = []    # (min_seq, host) — hosts eligible now
+            waiting = []  # (next_t, min_seq, host)
+            for hh, q in by_host.items():
+                nxt = self.host_next.get(hh)
+                if nxt is None or nxt <= t:
+                    heapq.heappush(ready, (q[0][0], hh))
+                else:
+                    heapq.heappush(waiting, (nxt, q[0][0], hh))
             host_picks: dict[int, int] = {}
-            remaining = list(range(len(entries)))
-            taken: set[int] = set()
-            while len(taken) < cfg.per_shard_batch and remaining:
-                best = None
-                best_sleep = None
-                for ri in remaining:
-                    seq, url, h, hh, host = entries[ri]
-                    if host_picks.get(hh, 0) >= cfg.per_host_epoch_cap:
-                        continue
-                    nxt = self.host_next.get(hh)
-                    sleep = max(0, nxt - t) if nxt is not None else 0
-                    if best_sleep is None or sleep < best_sleep:
-                        best_sleep, best = sleep, ri
-                        if sleep == 0:
-                            break
-                if best is None:
-                    break
-                seq, url, h, hh, host = entries[best]
-                t += best_sleep
+            n_picked = 0
+            while n_picked < cfg.per_shard_batch and (ready or waiting):
+                if not ready:
+                    nxt, _, hh = heapq.heappop(waiting)
+                    t = max(t, nxt)
+                    heapq.heappush(ready, (by_host[hh][0][0], hh))
+                    # pull in every other host that became eligible
+                    while waiting and waiting[0][0] <= t:
+                        _, _, h2 = heapq.heappop(waiting)
+                        heapq.heappush(ready, (by_host[h2][0][0], h2))
+                    continue
+                seq_min, hh = heapq.heappop(ready)
+                q = by_host[hh]
+                seq, url, h, hhx, host = q.popleft()
                 self.host_next[hh] = t + cfg.politeness_ms
                 host_picks[hh] = host_picks.get(hh, 0) + 1
                 picks.append((t, seq, url, h, hh, shard))
-                taken.add(best)
-                remaining.remove(best)
-            if taken:
-                self.frontier[shard] = [
-                    e for i, e in enumerate(entries) if i not in taken
-                ]
+                n_picked += 1
+                if q and host_picks[hh] < cfg.per_host_epoch_cap:
+                    heapq.heappush(
+                        waiting, (self.host_next[hh], q[0][0], hh)
+                    )
+            # rebuild frontier: whatever remains in the per-host queues,
+            # restored to enqueue_seq order
+            remaining = [e for q in by_host.values() for e in q]
+            remaining.sort(key=lambda e: e[0])
+            self.frontier[shard] = remaining
         picks.sort(key=lambda p: (p[0], p[1]))
 
-        # resolve fetch outcomes (bad-host gate → store lookup → redirect)
+        # resolve fetch outcomes (bad-host gate → store lookup →
+        # redirect) — store lookups bulk-vectorized; only the
+        # order-sensitive fail-counter walk stays a (cheap) loop
+        n = len(picks)
+        uh = np.fromiter((p[3] for p in picks), np.uint64, n)
+        srows = self.store.lookup(uh)
+        known = srows >= 0
+        status = np.full(n, -999, np.int32)
+        status[known] = self.store.status[srows[known]]
+        redirect = np.full(n, -1, np.int64)
+        red = known & (status == synth.STATUS_REDIRECT)
+        redirect[red] = self.store.redirect[srows[red]]
+        red_ok = red & (redirect >= 0)
+        red_status = np.full(n, -999, np.int32)
+        red_status[red_ok] = self.store.status[redirect[red_ok]]
         rows = {k.name: [] for k in PICKS_SCHEMA}
-        for t, seq, url, h, hh, shard in picks:
-            outcome, content_row = self._resolve(h, hh)
+        cfg = self.cfg
+        for i, (t, seq, url, h, hh, shard) in enumerate(picks):
+            fails = self.host_fail.get(hh, 0)
+            if fails > cfg.max_host_fails and (h % 10) != 0:
+                outcome, content_row = OUT_SKIP_BADHOST, -1
+            elif not known[i]:
+                self.host_fail[hh] = fails + 1
+                outcome, content_row = OUT_CONNECT_FAIL, -1
+            elif status[i] == synth.STATUS_TIMEOUT:
+                self.host_fail[hh] = fails + 1
+                outcome, content_row = OUT_TIMEOUT, -1
+            else:
+                self.host_fail.pop(hh, None)
+                if status[i] == synth.STATUS_NOTFOUND:
+                    outcome, content_row = OUT_NOTFOUND, -1
+                elif status[i] == synth.STATUS_REDIRECT:
+                    if red_status[i] != synth.STATUS_OK:
+                        outcome, content_row = OUT_REDIRECT_FAIL, -1
+                    else:
+                        outcome, content_row = OUT_OK, int(redirect[i])
+                else:
+                    outcome, content_row = OUT_OK, int(srows[i])
             rows["t_sched"].append(t)
             rows["enqueue_seq"].append(seq)
             rows["url"].append(url)
@@ -136,29 +192,6 @@ class HostShards:
             rows["content_row"].append(content_row)
             rows["outcome"].append(outcome)
         return pa.table(rows, schema=PICKS_SCHEMA)
-
-    def _resolve(self, h: int, hh: int) -> tuple[int, int]:
-        cfg = self.cfg
-        fails = self.host_fail.get(hh, 0)
-        if fails > cfg.max_host_fails and (h % 10) != 0:
-            return OUT_SKIP_BADHOST, -1
-        row = int(self.store.lookup(np.array([h], np.uint64))[0])
-        if row < 0:
-            self.host_fail[hh] = fails + 1
-            return OUT_CONNECT_FAIL, -1
-        status = int(self.store.status[row])
-        if status == synth.STATUS_TIMEOUT:
-            self.host_fail[hh] = fails + 1
-            return OUT_TIMEOUT, -1
-        self.host_fail.pop(hh, None)
-        if status == synth.STATUS_NOTFOUND:
-            return OUT_NOTFOUND, -1
-        if status == synth.STATUS_REDIRECT:
-            tgt = int(self.store.redirect[row])
-            if tgt < 0 or int(self.store.status[tgt]) != synth.STATUS_OK:
-                return OUT_REDIRECT_FAIL, -1
-            return OUT_OK, tgt
-        return OUT_OK, row
 
     # ---------------------------------------------------------- admission
     def admit_phase1(self, cand: pa.Table) -> pa.Table:
@@ -172,24 +205,44 @@ class HostShards:
         hhs = cand["host_hash"].to_numpy(zero_copy_only=False)
         uhs = cand["url_hash"].to_numpy(zero_copy_only=False)
         rows = self.store.lookup(uhs)
-        ok = np.ones(len(cand), bool)
-        reason = np.full(len(cand), "", dtype=object)
-        for i in range(len(cand)):
-            row = int(rows[i])
-            if row >= 0 and self.store.robots_disallowed(row):
-                ok[i] = False
-                reason[i] = "robots"
-                continue
-            hh = int(hhs[i])
-            c = self.host_cand.get(hh, 0)
-            if c >= self.cfg.max_urls_per_host:
-                ok[i] = False
-                reason[i] = "quota"
-                continue
-            self.host_cand[hh] = c + 1
-        return cand.append_column("ok", pa.array(ok)).append_column(
+        n = len(cand)
+        ok = np.ones(n, bool)
+        reason = np.full(n, "", dtype=object)
+        known = rows >= 0
+        robots_bad = np.zeros(n, bool)
+        robots_bad[known] = self.store.robots_blocked[rows[known]]
+        ok[robots_bad] = False
+        reason[robots_bad] = "robots"
+        # quota fast path: hosts whose counter + batch contribution stays
+        # below the cap take a bulk dict update; only cap-straddling
+        # hosts fall back to the per-row in-order scan
+        cap = self.cfg.max_urls_per_host
+        passing = ~robots_bad
+        uniq, counts = np.unique(hhs[passing], return_counts=True)
+        slow_hosts = set()
+        for hh, c in zip(uniq.tolist(), counts.tolist()):
+            base = self.host_cand.get(hh, 0)
+            if base + c <= cap:
+                self.host_cand[hh] = base + c
+            else:
+                slow_hosts.add(hh)
+        if slow_hosts:
+            for i in np.nonzero(passing)[0]:
+                hh = int(hhs[i])
+                if hh not in slow_hosts:
+                    continue
+                c = self.host_cand.get(hh, 0)
+                if c >= cap:
+                    ok[i] = False
+                    reason[i] = "quota"
+                else:
+                    self.host_cand[hh] = c + 1
+        out = cand.append_column("ok", pa.array(ok)).append_column(
             "reason", pa.array(reason, type=pa.string())
         )
+        # piggyback current frontier sizes (pre-append) so the driver's
+        # cap phase needs no extra RPC round
+        return out, self.shard_sizes()
 
     def shard_sizes(self) -> dict[int, int]:
         return {s: len(v) for s, v in self.frontier.items()}
