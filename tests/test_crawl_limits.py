@@ -1,0 +1,85 @@
+"""Engine-vs-oracle conformance when the admission limits BIND:
+per-host quota, per-shard frontier cap, global URL budget.  Final
+membership (seen set) and crawl order must match; reject *reasons* may
+differ on cap-vs-dup edges (documented in pipelines/crawl.py)."""
+
+import dataclasses
+
+import pytest
+
+from searchengine_ray.pipelines.oracle import CrawlConfig, simulate
+from searchengine_ray.sources import synth
+
+
+@pytest.fixture(scope="module")
+def small_world():
+    images, truth = synth.gen_images(60, seed=7)
+    store = synth.gen_web(600, 60, seed=7)
+    synth.attach_captions(store, images)
+    seeds = synth.gen_seeds(store, 10, seed=7)
+    return images, truth, store, seeds
+
+
+def _run_both(small_world, tmp_path, cfg, tag):
+    from searchengine_ray.pipelines.crawl import run_crawl
+
+    images, truth, store, seeds = small_world
+    golden = simulate(seeds, store, cfg)
+    res = run_crawl(
+        seeds, store, images, truth, cfg=cfg,
+        out_dir=str(tmp_path / tag), n_host_actors=3, n_fetch_actors=2,
+    )
+    return golden, res
+
+
+def _assert_match(golden, res):
+    got = list(
+        zip(
+            res.crawl_order["fetch_seq"].to_pylist(),
+            res.crawl_order["url"].to_pylist(),
+            res.crawl_order["url_hash"].to_pylist(),
+            res.crawl_order["t_sched"].to_pylist(),
+            res.crawl_order["epoch"].to_pylist(),
+        )
+    )
+    assert got == golden.crawl_order
+    assert res.seen == golden.seen
+
+
+def test_host_quota_binding(ray_session, small_world, tmp_path):
+    cfg = CrawlConfig(
+        shard_count=6, per_shard_batch=40, seen_shards=3, max_urls_per_host=5
+    )
+    golden, res = _run_both(small_world, tmp_path, cfg, "quota")
+    assert any(r == "quota" for _, r in golden.rejects)  # actually binds
+    _assert_match(golden, res)
+
+
+def test_shard_cap_binding(ray_session, small_world, tmp_path):
+    cfg = CrawlConfig(
+        shard_count=6, per_shard_batch=40, seen_shards=3,
+        max_frontier_per_shard=25,
+    )
+    golden, res = _run_both(small_world, tmp_path, cfg, "cap")
+    assert any(r == "shard_full" for _, r in golden.rejects)
+    _assert_match(golden, res)
+
+
+def test_global_budget_binding(ray_session, small_world, tmp_path):
+    cfg = CrawlConfig(
+        shard_count=6, per_shard_batch=40, seen_shards=3, max_crawl_urls=150
+    )
+    golden, res = _run_both(small_world, tmp_path, cfg, "budget")
+    assert any(r == "budget" for _, r in golden.rejects)
+    assert len(golden.seen) <= 150
+    _assert_match(golden, res)
+
+
+def test_all_binding_together(ray_session, small_world, tmp_path):
+    cfg = CrawlConfig(
+        shard_count=6, per_shard_batch=30, seen_shards=3,
+        max_urls_per_host=6, max_frontier_per_shard=20, max_crawl_urls=200,
+        per_host_epoch_cap=3,
+    )
+    golden, res = _run_both(small_world, tmp_path, cfg, "all")
+    _assert_match(golden, res)

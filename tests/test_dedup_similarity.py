@@ -1,0 +1,124 @@
+"""Dedup family + similarity search tests (training-data operators)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups():
+    rng = np.random.default_rng(3)
+    vocab = [f"tok{i}" for i in range(50)]
+    base = [" ".join(rng.choice(vocab, 40)) for _ in range(30)]
+    texts = list(base)
+    texts.append(base[0])                      # exact dup of 0
+    near = base[1].split()
+    near[5] = "tokX"                           # near dup of 1
+    texts.append(" ".join(near))
+    return pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+
+def test_exact_dedup(ray_session, docs_with_dups):
+    import ray
+
+    from searchengine_ray.stages.dedup import exact_dedup
+
+    ds = ray.data.from_pandas(docs_with_dups)
+    out = exact_dedup(ds).to_pandas()
+    assert len(out) == len(docs_with_dups) - 1  # one exact dup removed
+    assert out[out["doc_id"] == 0]["dup_count"].iloc[0] == 2
+
+
+def test_minhash_lsh_finds_near_dups(ray_session, docs_with_dups):
+    import ray
+
+    from searchengine_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = ray.data.from_pandas(docs_with_dups)
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 30) in found            # exact dup → jaccard 1.0
+    assert (1, 31) in found            # near dup
+    exact = pairs[(pairs["id_a"] == 0) & (pairs["id_b"] == 30)]
+    assert float(exact["jaccard_est"].iloc[0]) == 1.0
+
+
+def test_simhash_properties(ray_session, docs_with_dups):
+    from searchengine_ray.stages.dedup import simhash_batch
+    from searchengine_ray.sources.codec import hamming64
+
+    out = simhash_batch(docs_with_dups)
+    sh = out.set_index("doc_id")["simhash"]
+    assert sh[0] == sh[30]  # exact dup → identical simhash
+    d_near = hamming64(np.array([sh[1]]), np.array([sh[31]]))[0]
+    d_far = hamming64(np.array([sh[1]]), np.array([sh[20]]))[0]
+    assert d_near < d_far  # near-dup closer than unrelated
+
+
+def test_phash_dedup(ray_session):
+    import ray
+
+    from searchengine_ray.sources.synth import gen_images
+    from searchengine_ray.stages.dedup import phash_dedup
+
+    images, _ = gen_images(100, seed=42, dup_rate=0.1)
+    ds = ray.data.from_arrow(images.select(["image_id", "phash"]))
+    out = phash_dedup(ds).to_pandas()
+    assert len(out) < 100
+    assert out["dup_count"].sum() == 100  # partition of all rows
+
+
+def test_cosine_topk_exact(ray_session):
+    import ray
+
+    from searchengine_ray.stages.similarity import cosine_topk
+
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((200, 16))
+    df = pd.DataFrame({"vec_id": range(200), "embedding": list(emb)})
+    q = emb[7]
+    out = cosine_topk(ray.data.from_pandas(df), q[None, :], k=5)
+    # brute-force ground truth
+    nrm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = nrm @ (q / np.linalg.norm(q))
+    want = set(np.argsort(-sims)[:5].tolist())
+    assert set(out["vec_id"]) == want
+    assert out["vec_id"].iloc[0] == 7  # self is top-1
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray
+
+    from searchengine_ray.stages.similarity import (
+        cosine_topk,
+        ivf_build_centroids,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(6)
+    # clustered data so IVF pruning is meaningful
+    centers = rng.standard_normal((8, 16)) * 4
+    emb = np.vstack([c + rng.standard_normal((40, 16)) for c in centers])
+    df = pd.DataFrame({"vec_id": range(len(emb)), "embedding": list(emb)})
+    ds = ray.data.from_pandas(df)
+    cent = ivf_build_centroids(ds, n_centroids=8, seed=1)
+    q = emb[3]
+    exact = set(cosine_topk(ds, q[None, :], k=5)["vec_id"])
+    approx = set(ivf_topk(ds, q[None, :], cent, k=5, n_probe=3)["vec_id"])
+    assert len(exact & approx) >= 3  # decent recall on clustered data
+
+
+def test_embedding_neardup(ray_session):
+    import ray
+
+    from searchengine_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((50, 8))
+    emb[10] = emb[4] + 1e-4  # near-identical pair
+    df = pd.DataFrame({"vec_id": range(50), "embedding": list(emb)})
+    out = embedding_neardup_pairs(
+        ray.data.from_pandas(df), threshold=0.999
+    ).to_pandas()
+    pairs = set(zip(out.get("id_a", []), out.get("id_b", [])))
+    assert (4, 10) in pairs
