@@ -43,18 +43,27 @@ def microfloat(x: np.ndarray) -> np.ndarray:
     return (f.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
 
 
+MAIN_WORD_SIZE = 24  # MAINWORDSIZE, SearchEngine.h:29 — phrase entries cap
+
+
 def word_rows(
     batch: pd.DataFrame,
     id_col: str = "doc_id",
     body_col: str = "text",
     title_col: str | None = None,
     rank_col: str | None = None,
+    phrases: bool = False,
 ) -> pd.DataFrame:
     """Per-doc word aggregation → (word, rank, page_index, position).
 
     Per word keep the max weighted rank + its position (A1); position
     counter caps at 65535; total words per page cap 2000; ranks
-    normalized so Σ = page rank (A3); bf16-quantized.
+    normalized so Σ = page rank (A3); bf16-quantized.  With
+    ``phrases=True`` adjacent-token bigrams are also emitted, truncated
+    to 24 chars — the reference's main dict stores words AND
+    space-containing phrases in its 24-byte rows (``DictWord``,
+    ``SearchEngine.h:424-425``), which is what phrase queries
+    prefix-match against.
     """
     out_w, out_r, out_p, out_pos = [], [], [], []
     for i in range(len(batch)):
@@ -62,13 +71,16 @@ def word_rows(
         page_rank = float(batch[rank_col].iloc[i]) if rank_col else 1.0
         best: dict[str, tuple[float, int]] = {}
         pos = 0
+        prev_tok = None
         streams = []
         if title_col:
             streams.append((WEIGHT_TITLE, str(batch[title_col].iloc[i])))
         streams.append((WEIGHT_BODY, str(batch[body_col].iloc[i])))
         for weight, text in streams:
+            prev_tok = None  # phrases don't span streams
             for tok in TOKEN_RE.findall(text.lower()):
                 if tok in STOPWORDS:
+                    prev_tok = None  # a stopword breaks the phrase chain
                     continue
                 if pos >= 65535:
                     break
@@ -76,6 +88,12 @@ def word_rows(
                 cur = best.get(tok)
                 if cur is None or w > cur[0]:
                     best[tok] = (w, pos)
+                if phrases and prev_tok is not None:
+                    ph = (prev_tok + " " + tok)[:MAIN_WORD_SIZE]
+                    curp = best.get(ph)
+                    if curp is None or w > curp[0]:
+                        best[ph] = (w, pos - 1)
+                prev_tok = tok
                 pos += 1
         if not best:
             continue
@@ -120,7 +138,8 @@ def build_index(
 
     The ds.sort is the O1/O2 external-merge-sort replacement."""
     rows = docs_ds.map_batches(
-        lambda b: word_rows(b, id_col, body_col, title_col, rank_col),
+        lambda b: word_rows(b, id_col, body_col, title_col, rank_col,
+                            phrases=True),
         batch_format="pandas",
     )
     return rows.sort(["word", "rank", "page_index"])

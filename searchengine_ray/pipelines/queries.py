@@ -855,6 +855,103 @@ def q30_fingerprint(sf_dir: str):
     return ds.map_batches(tx.fingerprint, batch_format="pandas")
 
 
+def q31_top_hosts(sf_dir: str):
+    """Heavy-hitter host tracker (T5: m_topHosts top-100 with ≥20
+    downloads — SearchEngine.h:763-778) over a crawl's fetch log."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..functions import urlkernel as uk
+    from ..sources import synth
+    from .crawl import run_crawl
+    from .oracle import CrawlConfig
+
+    images, truth = synth.gen_images(80, seed=42)
+    store = synth.gen_web(500, 80, seed=42)
+    synth.attach_captions(store, images)
+    seeds = synth.gen_seeds(store, 8, seed=42)
+    cfg = CrawlConfig(shard_count=4, per_shard_batch=100, seen_shards=2)
+    res = run_crawl(
+        seeds, store, images, truth, cfg=cfg,
+        out_dir="/tmp/raycrawl_q31", n_host_actors=2, n_fetch_actors=2,
+    )
+
+    def add_host(t: pa.Table) -> pa.Table:
+        hosts = uk.split_host_batch(t["url"].combine_chunks())
+        return pa.table({"host": hosts})
+
+    ds = ray.data.from_arrow(res.crawl_order.select(["url"]))
+    out = (
+        ds.map_batches(add_host, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Count(alias_name="downloads"))
+        .sort(["downloads", "host"], descending=[True, False])
+        .limit(100)
+    )
+    pdf = out.to_pandas()
+    return pdf[pdf["downloads"] >= 3].reset_index(drop=True)
+
+
+def q32_crawl_rank_index_search(sf_dir: str):
+    """The full reference lifecycle in one pipeline (menus 1→3→4):
+    crawl → link graph → PageRank → reverse index over page
+    titles+captions weighted by rank → multi-term proximity search.
+    Returns the top results table (rows-only check)."""
+    import ray
+
+    from ..sources import synth
+    from .crawl import run_crawl
+    from .index import SearchIndex, build_index
+    from .oracle import CrawlConfig
+    from .rank import edges_from_content, pagerank
+
+    images, truth = synth.gen_images(80, seed=42)
+    store = synth.gen_web(500, 80, seed=42)
+    synth.attach_captions(store, images)
+    seeds = synth.gen_seeds(store, 8, seed=42)
+    cfg = CrawlConfig(shard_count=4, per_shard_batch=100, seen_shards=2)
+    res = run_crawl(
+        seeds, store, images, truth, cfg=cfg,
+        out_dir="/tmp/raycrawl_q32", n_host_actors=2, n_fetch_actors=2,
+    )
+    crawled = set(res.content["url_hash"].to_pylist())
+    edges = edges_from_content(res.content, crawled)
+    ranks = pagerank(
+        ray.data.from_pandas(edges),
+        np.array(sorted(crawled), np.uint64),
+        n_iters=5,
+    ) if len(edges) else pd.DataFrame({"node": list(crawled), "rank": 1.0})
+    rank_of = dict(zip(ranks["node"], ranks["rank"]))
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(res.content)),
+            "text": res.content["caption"].to_pylist(),
+            "title": res.content["title"].to_pylist(),
+            "page_rank": [
+                rank_of.get(int(h), 0.15)
+                for h in res.content["url_hash"].to_pylist()
+            ],
+        }
+    )
+    dict_ds = build_index(
+        ray.data.from_pandas(docs),
+        body_col="text",
+        title_col="title",
+        rank_col="page_rank",
+    )
+    tbl = pa.Table.from_pandas(dict_ds.to_pandas(), preserve_index=False)
+    from ..functions.urlkernel import split_host
+
+    hosts = {
+        i: split_host(u)
+        for i, u in enumerate(res.content["url"].to_pylist())
+    }
+    idx = SearchIndex(tbl, doc_host=hosts)
+    out = idx.search("sunset harbor", max_show=20)
+    out["final_rank"] = np.round(out["final_rank"].astype(np.float64), 6)
+    return out
+
+
 # ------------------------------------------------------------------ catalog
 
 
@@ -890,6 +987,8 @@ def queries():
         "q28_ivf_topk": q28_ivf_topk,
         "q29_embedding_neardup": q29_embedding_neardup,
         "q30_fingerprint": q30_fingerprint,
+        "q31_top_hosts": q31_top_hosts,
+        "q32_crawl_rank_index_search": q32_crawl_rank_index_search,
     }
 
 
