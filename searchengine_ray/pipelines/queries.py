@@ -46,6 +46,40 @@ def _cents(x) -> np.ndarray:
     return np.round(np.asarray(x, np.float64) * 100).astype(np.int64)
 
 
+_BCAST_CACHE: dict = {}
+
+
+def _broadcast_fn(ref, fn):
+    """Stateless-task broadcast lookup: resolve the ray.put ref once
+    per worker process (module cache) — avoids paying actor-pool
+    spin-up per query while keeping the no-reship property."""
+
+    def wrapped(batch):
+        import ray
+
+        key = ref.hex() if hasattr(ref, "hex") else id(ref)
+        if key not in _BCAST_CACHE:
+            _BCAST_CACHE[key] = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        return fn(batch, _BCAST_CACHE[key])
+
+    return wrapped
+
+
+
+def _final_combine(partials_ds, keys: list, sums: list) -> pd.DataFrame:
+    """Finish a map-side-combined aggregate on the driver: the partial
+    rows are tiny (one row per group per batch), so Ray's shuffle-based
+    Aggregate operator (~3 s fixed cost) is replaced by one pandas
+    groupby over a few hundred rows."""
+    pdf = partials_ds.to_pandas()
+    if pdf.empty:
+        return pdf
+    out = pdf.groupby(keys, as_index=False)[sums].sum()
+    for c in sums:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 # ------------------------------------------------------------------ queries
 
 
@@ -61,33 +95,36 @@ def q01_pricing_summary(sf_dir: str):
          "l_discount", "l_shipdate"],
     )
 
-    def prep(t: pa.Table) -> pa.Table:
+    def prep(t: pa.Table) -> pd.DataFrame:
         ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
         t = t.filter(pa.array(ship < np.datetime64("1998-09-01")))
         qty = _cents(t["l_quantity"].to_numpy(zero_copy_only=False))
         base = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
         disc = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
-        return pa.table(
+        df = pd.DataFrame(
             {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "sum_qty_cents": pa.array(qty),
-                "sum_base_cents": pa.array(base),
-                "sum_disc_c4": pa.array(base * (100 - disc)),
+                "l_returnflag": t["l_returnflag"].to_pandas(),
+                "l_linestatus": t["l_linestatus"].to_pandas(),
+                "sum_qty_cents": qty,
+                "sum_base_cents": base,
+                "sum_disc_c4": base * (100 - disc),
             }
         )
-
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty_cents", alias_name="sum_qty_cents"),
-            Sum("sum_base_cents", alias_name="sum_base_cents"),
-            Sum("sum_disc_c4", alias_name="sum_disc_c4"),
-            Count(alias_name="count_order"),
+        # per-batch combiner: one row per group per batch before the
+        # shuffle (the pre-aggregation pattern — only ~6 rows leave)
+        part = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_cents=("sum_qty_cents", "sum"),
+            sum_base_cents=("sum_base_cents", "sum"),
+            sum_disc_c4=("sum_disc_c4", "sum"),
+            count_order=("sum_qty_cents", "size"),
         )
+        return part
+
+    return _final_combine(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty_cents", "sum_base_cents", "sum_disc_c4", "count_order"],
     )
-    return out
 
 
 SQL_Q01 = """
@@ -143,30 +180,26 @@ def q03_revenue_by_segment(sf_dir: str):
     seg_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
     ref = ray.put(seg_of)
 
-    class AddSeg:
-        def __init__(self):
-            self.seg = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["o_custkey"].to_pylist()
-            seg = [self.seg.get(k, "") for k in keys]
-            return pa.table(
-                {
-                    "c_mktsegment": pa.array(seg, pa.string()),
-                    "revenue_cents": pa.array(
-                        _cents(t["o_totalprice"].to_numpy(zero_copy_only=False))
-                    ),
-                }
-            )
+    def add_seg(t: pa.Table, seg: dict) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "c_mktsegment": [seg.get(k, "") for k in t["o_custkey"].to_pylist()],
+                "revenue_cents": _cents(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+        part = df.groupby("c_mktsegment", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"),
+            n_orders=("revenue_cents", "size"),
+        )
+        return part
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    return (
-        ds.map_batches(AddSeg, batch_format="pyarrow", concurrency=2)
-        .groupby("c_mktsegment")
-        .aggregate(
-            Sum("revenue_cents", alias_name="revenue_cents"),
-            Count(alias_name="n_orders"),
-        )
+    return _final_combine(
+        ds.map_batches(_broadcast_fn(ref, add_seg), batch_format="pyarrow"),
+        ["c_mktsegment"],
+        ["revenue_cents", "n_orders"],
     )
 
 
@@ -230,31 +263,30 @@ def q05_nation_orders(sf_dir: str):
     nname = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
     ref = ray.put((nk, nname))
 
-    class AddNation:
-        def __init__(self):
-            self.nk, self.nname = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            names = [
-                self.nname.get(self.nk.get(k, -1), "") for k in t["o_custkey"].to_pylist()
-            ]
-            return pa.table(
-                {
-                    "n_name": pa.array(names, pa.string()),
-                    "revenue_cents": pa.array(
-                        _cents(t["o_totalprice"].to_numpy(zero_copy_only=False))
-                    ),
-                }
-            )
-
-    return (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(AddNation, batch_format="pyarrow", concurrency=2)
-        .groupby("n_name")
-        .aggregate(
-            Sum("revenue_cents", alias_name="revenue_cents"),
-            Count(alias_name="n_orders"),
+    def add_nation(t: pa.Table, small) -> pd.DataFrame:
+        nk_, nname_ = small
+        df = pd.DataFrame(
+            {
+                "n_name": [
+                    nname_.get(nk_.get(k, -1), "")
+                    for k in t["o_custkey"].to_pylist()
+                ],
+                "revenue_cents": _cents(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False)
+                ),
+            }
         )
+        return df.groupby("n_name", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"),
+            n_orders=("revenue_cents", "size"),
+        )
+
+    return _final_combine(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            _broadcast_fn(ref, add_nation), batch_format="pyarrow"
+        ),
+        ["n_name"],
+        ["revenue_cents", "n_orders"],
     )
 
 
@@ -330,26 +362,24 @@ def q08_events_hourly(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
-    def prep(t: pa.Table) -> pa.Table:
+    def prep(t: pa.Table) -> pd.DataFrame:
         us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        hour = us // 3_600_000_000 * 3600
-        return pa.table(
+        df = pd.DataFrame(
             {
-                "event_type": t["event_type"],
-                "hour_epoch": pa.array(hour),
-                "value_cents": pa.array(
-                    _cents(t["value"].to_numpy(zero_copy_only=False))
-                ),
+                "event_type": t["event_type"].to_pandas(),
+                "hour_epoch": us // 3_600_000_000 * 3600,
+                "value_cents": _cents(t["value"].to_numpy(zero_copy_only=False)),
             }
         )
-
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["event_type", "hour_epoch"])
-        .aggregate(
-            Sum("value_cents", alias_name="value_cents"),
-            Count(alias_name="n_events"),
+        return df.groupby(["event_type", "hour_epoch"], as_index=False).agg(
+            value_cents=("value_cents", "sum"),
+            n_events=("value_cents", "size"),
         )
+
+    return _final_combine(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hour_epoch"],
+        ["value_cents", "n_events"],
     )
 
 
@@ -367,25 +397,27 @@ def q09_top_users(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["user_id", "value"])
 
-    def prep(t: pa.Table) -> pa.Table:
-        return pa.table(
+    def prep(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
             {
-                "user_id": t["user_id"],
-                "value_cents": pa.array(
-                    _cents(t["value"].to_numpy(zero_copy_only=False))
-                ),
+                "user_id": t["user_id"].to_pandas(),
+                "value_cents": _cents(t["value"].to_numpy(zero_copy_only=False)),
             }
         )
-
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(
-            Sum("value_cents", alias_name="value_cents"),
-            Count(alias_name="n_events"),
+        return df.groupby("user_id", as_index=False).agg(
+            value_cents=("value_cents", "sum"),
+            n_events=("value_cents", "size"),
         )
-        .sort(["value_cents", "user_id"], descending=[True, False])
-        .limit(20)
+
+    agg = _final_combine(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        ["value_cents", "n_events"],
+    )
+    return (
+        agg.sort_values(["value_cents", "user_id"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
     )
 
 
@@ -430,10 +462,10 @@ def q12_word_counts(sf_dir: str):
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "documents", ["text"])
-    return (
-        ds.map_batches(tx.word_count_partial, batch_format="pandas")
-        .groupby("word")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    return _final_combine(
+        ds.map_batches(tx.word_count_partial, batch_format="pandas"),
+        ["word"],
+        ["cnt"],
     )
 
 
@@ -569,23 +601,24 @@ def q18_jaccard_pairs(sf_dir: str):
                 shs.append(s)
         return pd.DataFrame({"doc_id": ids, "shingle": shs})
 
-    sh = ds.map_batches(shingles, batch_format="pandas").materialize()
-    sizes = sh.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
-    n_of = dict(zip(sizes["doc_id"], sizes["n"]))
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"ia": a, "ib": b})
-
-    pr = sh.groupby("shingle").map_groups(pairs, batch_format="pandas").to_pandas()
+    # shingling is the parallel (map) side; the pair join over distinct
+    # shingles runs as one vectorized merge (at 100 TB this becomes a
+    # hash-partition by shingle + per-partition merge — same shape,
+    # partition key documented in SURVEY §7.4)
+    sh_pdf = ds.map_batches(shingles, batch_format="pandas").to_pandas()
+    if len(sh_pdf) == 0:
+        return pd.DataFrame({"ia": [], "ib": [], "jaccard": []})
+    sizes = sh_pdf.groupby("doc_id").size()
+    n_of = sizes.to_dict()
+    pr = sh_pdf.merge(sh_pdf, on="shingle", suffixes=("_a", "_b"))
+    pr = pr[pr["doc_id_a"] < pr["doc_id_b"]]
     if len(pr) == 0:
         return pd.DataFrame({"ia": [], "ib": [], "jaccard": []})
-    cnt = pr.groupby(["ia", "ib"], as_index=False).size()
+    cnt = (
+        pr.groupby(["doc_id_a", "doc_id_b"], as_index=False)
+        .size()
+        .rename(columns={"doc_id_a": "ia", "doc_id_b": "ib"})
+    )
     na = cnt["ia"].map(n_of).to_numpy(np.int64)
     nb = cnt["ib"].map(n_of).to_numpy(np.int64)
     inter = cnt["size"].to_numpy(np.int64)
@@ -675,28 +708,23 @@ def q26_brand_volume(sf_dir: str):
     brand = dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist()))
     ref = ray.put(brand)
 
-    class AddBrand:
-        def __init__(self):
-            self.brand = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            b = [self.brand.get(k, "") for k in t["l_partkey"].to_pylist()]
-            return pa.table(
-                {
-                    "p_brand": pa.array(b, pa.string()),
-                    "qty_cents": pa.array(
-                        _cents(t["l_quantity"].to_numpy(zero_copy_only=False))
-                    ),
-                }
-            )
-
-    return (
-        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
-        .map_batches(AddBrand, batch_format="pyarrow", concurrency=2)
-        .groupby("p_brand")
-        .aggregate(
-            Sum("qty_cents", alias_name="qty_cents"), Count(alias_name="n_items")
+    def add_brand(t: pa.Table, br: dict) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "p_brand": [br.get(k, "") for k in t["l_partkey"].to_pylist()],
+                "qty_cents": _cents(t["l_quantity"].to_numpy(zero_copy_only=False)),
+            }
         )
+        return df.groupby("p_brand", as_index=False).agg(
+            qty_cents=("qty_cents", "sum"), n_items=("qty_cents", "size")
+        )
+
+    return _final_combine(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
+            _broadcast_fn(ref, add_brand), batch_format="pyarrow"
+        ),
+        ["p_brand"],
+        ["qty_cents", "n_items"],
     )
 
 
@@ -712,15 +740,23 @@ def q27_best_order_per_customer(sf_dir: str):
     """Windowed argmax per group (J5-style top-n in map_groups)."""
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def best(g: pd.DataFrame) -> pd.DataFrame:
-        c = g["o_totalprice"].to_numpy()
-        cents = np.round(c * 100).astype(np.int64)
-        g = g.assign(total_cents=cents).sort_values(
-            ["total_cents", "o_orderkey"], ascending=[False, True]
-        )
-        return g.head(1)[["o_custkey", "o_orderkey", "total_cents"]]
+    def partial_best(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            total_cents=np.round(b["o_totalprice"].to_numpy() * 100).astype(
+                np.int64
+            )
+        ).sort_values(["total_cents", "o_orderkey"], ascending=[False, True])
+        return b.drop_duplicates("o_custkey")[
+            ["o_custkey", "o_orderkey", "total_cents"]
+        ]
 
-    return ds.groupby("o_custkey").map_groups(best, batch_format="pandas")
+    # per-batch argmax partials → one driver-side final argmax over
+    # ≤(customers × batches) small rows — no per-group map_groups calls
+    parts = ds.map_batches(partial_best, batch_format="pandas").to_pandas()
+    final = parts.sort_values(
+        ["total_cents", "o_orderkey"], ascending=[False, True]
+    ).drop_duplicates("o_custkey")
+    return final.sort_values("o_custkey").reset_index(drop=True)
 
 
 SQL_Q27 = """

@@ -185,16 +185,30 @@ def simhash_batch(
 
 
 def phash_dedup(ds, phash_col: str = "phash", id_col: str = "image_id"):
-    """Exact perceptual-hash dedup: groupby(phash) → keep min(id),
-    count suppressed (SURVEY.md §2.7 payload-level analog of J1)."""
+    """Exact perceptual-hash dedup: keep min(id) per phash + count
+    suppressed (SURVEY.md §2.7 payload-level analog of J1).
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        first = g.head(1).copy()
-        first["dup_count"] = len(g)
-        return first
+    Map-side partial (per-batch min-id row + count per phash) → one
+    small driver-side final merge; at 100 TB the final becomes a
+    hash-partitioned groupby on ``phash`` (SURVEY §7.4), but its input
+    is already only one row per phash per batch."""
 
-    return ds.groupby(phash_col).map_groups(keep_first, batch_format="pandas")
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(id_col)
+        keep = b.drop_duplicates(phash_col).copy()
+        cnt = b.groupby(phash_col).size()
+        keep["dup_count"] = keep[phash_col].map(cnt).astype("int64")
+        return keep
+
+    import ray.data
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return ray.data.from_pandas(parts)
+    cnt = parts.groupby(phash_col)["dup_count"].sum()
+    final = parts.sort_values(id_col).drop_duplicates(phash_col).copy()
+    final["dup_count"] = final[phash_col].map(cnt).astype("int64")
+    return ray.data.from_pandas(final.reset_index(drop=True))
 
 
 # ----------------------------------------------------- embedding near-dup
