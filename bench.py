@@ -78,7 +78,7 @@ def run_bench() -> dict:
     images, truth = synth.gen_images(CRAWL_IMAGES, seed=42, sizes=(144, 192))
     store = synth.gen_web(CRAWL_URLS, CRAWL_IMAGES, seed=42)
     synth.attach_captions(store, images)
-    seeds = synth.gen_seeds(store, 1000, seed=42)
+    seeds = synth.gen_seeds(store, 3000, seed=42)
     cfg = CrawlConfig(
         shard_count=32,
         per_shard_batch=16000,

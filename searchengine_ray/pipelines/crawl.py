@@ -176,45 +176,44 @@ class RayCrawl:
                  "rejected_robots_quota": 0, "rejected_dup": 0}
         if len(cand) == 0:
             return stats
-        order = np.arange(len(cand))
-        # phase 1: robots + quota, per owning host actor (order kept)
+        # phase 1 (robots + quota, host actors) chained straight into
+        # phase 2 (seen filters): each seen actor consumes the host
+        # actors' output OBJECTS directly (plasma-shared, no driver
+        # round-trip between the phases) — the driver blocks ONCE on
+        # both phases.  Global candidate order rides along as an
+        # explicit `order` column so the chained actors can restore it.
+        cand = cand.append_column(
+            "order", pa.array(np.arange(len(cand), dtype=np.int64))
+        )
         shard_np = cand["shard"].to_numpy(zero_copy_only=False)
         owner = self._owner_lut[shard_np]
-        futs, idxs = [], []
+        futs1, idxs = [], []
         for a, actor in enumerate(self.host_actors):
             sel = np.nonzero(owner == a)[0]
             if len(sel) == 0:
                 continue
-            futs.append(actor.admit_phase1.remote(cand.take(pa.array(sel))))
+            futs1.append(actor.admit_phase1.remote(cand.take(pa.array(sel))))
             idxs.append(sel)
+        futs2 = [
+            actor.test_and_add_chained.remote(k, self.n_seen, *futs1)
+            for k, actor in enumerate(self.seen_actors)
+        ]
+        got1 = ray.get(futs1)
+        got2 = ray.get(futs2)
         ok1 = np.zeros(len(cand), bool)
         sizes: dict[int, int] = {}
-        for sel, (tbl, sz) in zip(idxs, ray.get(futs)):
-            ok1[sel] = tbl["ok"].to_numpy(zero_copy_only=False)
+        for sel, (ok, _chain, sz) in zip(idxs, got1):
+            ok1[sel] = ok
             sizes.update(sz)
         stats["rejected_robots_quota"] = int((~ok1).sum())
-        surv1 = np.nonzero(ok1)[0]
-        if len(surv1) == 0:
-            return stats
-        sub1 = cand.take(pa.array(surv1))
-        # phase 2: seen-filter test_and_add, per url_hash shard (order kept)
-        uh = sub1["url_hash"].to_numpy(zero_copy_only=False)
-        sowner = (uh % np.uint64(self.n_seen)).astype(np.int64)
-        futs, idxs = [], []
-        for k, actor in enumerate(self.seen_actors):
-            sel = np.nonzero(sowner == k)[0]
-            if len(sel) == 0:
-                continue
-            futs.append(actor.test_and_add.remote(uh[sel]))
-            idxs.append(sel)
-        new = np.zeros(len(sub1), bool)
-        for sel, mask in zip(idxs, ray.get(futs)):
-            new[sel] = mask
-        stats["rejected_dup"] = int((~new).sum())
-        surv2 = np.nonzero(new)[0]
+        new_full = np.zeros(len(cand), bool)
+        for order_idx, mask in got2:
+            new_full[order_idx] = mask
+        stats["rejected_dup"] = int(ok1.sum()) - int(new_full.sum())
+        surv2 = np.nonzero(new_full)[0]
         if len(surv2) == 0:
             return stats
-        sub2 = sub1.take(pa.array(surv2))
+        sub2 = cand.take(pa.array(surv2))
         # phase 3 (driver): per-shard caps + global budget, in order
         # (sizes piggybacked on phase 1 — pre-append state, as required)
         shard2 = sub2["shard"].to_numpy(zero_copy_only=False)
@@ -510,6 +509,35 @@ class _SeenActor:
 
     def test_and_add(self, hashes: np.ndarray) -> np.ndarray:
         return self.shard.test_and_add(hashes)
+
+    def test_and_add_chained(
+        self, k: int, n_seen: int, *phase1_outputs
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Chained phase 2: consume the host actors' phase-1 outputs
+        directly (Ray resolves the object refs in-actor — no driver
+        hop).  Keeps this shard's survivors in global candidate order
+        via the `order` column.  → (order indices, new-mask)."""
+        parts = []
+        for _ok, tbl, _sizes in phase1_outputs:
+            ok = tbl["ok"].to_numpy(zero_copy_only=False)
+            uh = tbl["url_hash"].to_numpy(zero_copy_only=False)
+            mine = ok & ((uh % np.uint64(n_seen)).astype(np.int64) == k)
+            idx = np.nonzero(mine)[0]
+            if len(idx):
+                parts.append(
+                    (
+                        tbl["order"].to_numpy(zero_copy_only=False)[idx],
+                        uh[idx],
+                    )
+                )
+        if not parts:
+            return np.zeros(0, np.int64), np.zeros(0, bool)
+        order = np.concatenate([p[0] for p in parts])
+        uh = np.concatenate([p[1] for p in parts])
+        o = np.argsort(order, kind="stable")
+        order, uh = order[o], uh[o]
+        mask = self.shard.test_and_add(uh)
+        return order, mask
 
     def remove(self, hashes: np.ndarray) -> None:
         self.shard.remove(hashes)

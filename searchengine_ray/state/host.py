@@ -237,12 +237,18 @@ class HostShards:
                     reason[i] = "quota"
                 else:
                     self.host_cand[hh] = c + 1
-        out = cand.append_column("ok", pa.array(ok)).append_column(
-            "reason", pa.array(reason, type=pa.string())
+        # return (ok mask, slim chain table, sizes): the chain table is
+        # what every seen actor deserializes — keep it hash+order only
+        # (no strings), and piggyback frontier sizes (pre-append) so
+        # the driver's cap phase needs no extra RPC round
+        chain = pa.table(
+            {
+                "url_hash": cand["url_hash"],
+                "order": cand["order"],
+                "ok": pa.array(ok),
+            }
         )
-        # piggyback current frontier sizes (pre-append) so the driver's
-        # cap phase needs no extra RPC round
-        return out, self.shard_sizes()
+        return ok, chain, self.shard_sizes()
 
     def shard_sizes(self) -> dict[int, int]:
         return {s: len(v) for s, v in self.frontier.items()}
