@@ -891,6 +891,18 @@ def q30_fingerprint(sf_dir: str):
     return ds.map_batches(tx.fingerprint, batch_format="pandas")
 
 
+def q33_phash_near_dedup(sf_dir: str):
+    """Hamming-near perceptual-hash duplicate pairs (band-bucket LSH
+    + exact verify) over the synthetic images table."""
+    import ray
+
+    from ..sources.synth import gen_images
+
+    images, _ = gen_images(400, seed=42, dup_rate=0.05)
+    ds = ray.data.from_arrow(images.select(["image_id", "phash"]))
+    return dd.phash_near_pairs(ds, max_hamming=6)
+
+
 def q31_top_hosts(sf_dir: str):
     """Heavy-hitter host tracker (T5: m_topHosts top-100 with ≥20
     downloads — SearchEngine.h:763-778) over a crawl's fetch log."""
@@ -1025,6 +1037,7 @@ def queries():
         "q30_fingerprint": q30_fingerprint,
         "q31_top_hosts": q31_top_hosts,
         "q32_crawl_rank_index_search": q32_crawl_rank_index_search,
+        "q33_phash_near_dedup": q33_phash_near_dedup,
     }
 
 

@@ -50,12 +50,40 @@ def edges_from_content(content, seen_hashes: set[int] | None = None):
     return pd.DataFrame(rows)
 
 
-def pagerank(edges_ds, nodes: np.ndarray, n_iters: int = 5, damping: float = 0.85):
-    """→ pandas (node, rank) after n_iters + final refine/clamp."""
+def pagerank(
+    edges_ds,
+    nodes: np.ndarray,
+    n_iters: int = 5,
+    damping: float = 0.85,
+    small_graph_threshold: int = 200_000,
+):
+    """→ pandas (node, rank) after n_iters + final refine/clamp.
+
+    Small graphs (≤ threshold edges) iterate with driver-side numpy
+    scatter-adds — a per-iteration Ray Data pipeline costs ~2s of
+    fixed overhead, which dwarfs tiny graphs.  Above the threshold the
+    distributed path runs (map-side combiner → groupby(dst).sum)."""
     import ray
     from ray.data.aggregate import Sum
 
     nodes = np.asarray(nodes, np.uint64)
+    n_edges = edges_ds.count()
+    if n_edges <= small_graph_threshold:
+        pdf = edges_ds.to_pandas()
+        node_ids = np.sort(nodes)
+        idx_of = {int(n): i for i, n in enumerate(node_ids)}
+        src = np.array([idx_of[int(s)] for s in pdf["src"]], np.int64)
+        dst = np.array([idx_of[int(d)] for d in pdf["dst"]], np.int64)
+        deg = pdf["out_degree"].to_numpy(np.float64)
+        r = np.ones(len(node_ids))
+        for _ in range(n_iters):
+            contrib = (damping * r[src] + (1 - damping)) / deg
+            nxt = np.zeros(len(node_ids))
+            np.add.at(nxt, dst, contrib)
+            r = nxt
+        r = np.minimum(damping * r + (1 - damping), 100.0)
+        return pd.DataFrame({"node": node_ids.astype(np.uint64), "rank": r})
+
     ranks = {int(n): 1.0 for n in nodes}
     for _ in range(n_iters):
         ref = ray.put(ranks)

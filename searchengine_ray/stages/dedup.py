@@ -211,6 +211,65 @@ def phash_dedup(ds, phash_col: str = "phash", id_col: str = "image_id"):
     return ray.data.from_pandas(final.reset_index(drop=True))
 
 
+def phash_near_pairs(
+    ds,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    max_hamming: int = 6,
+):
+    """Hamming-near perceptual-hash pairs (SURVEY §2.7 extension).
+
+    Band-bucket candidate generation: a 64-bit phash splits into 4
+    16-bit bands.  By pigeonhole, any pair with Hamming distance ≤ 3
+    agrees exactly on at least one band (guaranteed recall); pairs
+    with 4 ≤ d ≤ max_hamming are found when their differing bits don't
+    touch all four bands (high but not guaranteed recall — the
+    standard LSH trade; more/narrower bands raise recall at higher
+    candidate cost).  Explode to (band, key, id) rows → bucket join →
+    verify exact Hamming ≤ max_hamming.
+    """
+    from ..sources.codec import hamming64
+
+    def bands(b: pd.DataFrame) -> pd.DataFrame:
+        ph = b[phash_col].to_numpy(np.int64).astype(np.uint64)
+        out = []
+        for band in range(4):
+            key = ((ph >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "band": band,
+                        "key": key,
+                        id_col: b[id_col].to_numpy(),
+                        phash_col: b[phash_col].to_numpy(np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    bdf = ds.map_batches(bands, batch_format="pandas").to_pandas()
+    pr = bdf.merge(bdf, on=["band", "key"], suffixes=("_a", "_b"))
+    pr = pr[pr[f"{id_col}_a"] < pr[f"{id_col}_b"]]
+    if len(pr) == 0:
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    pr = pr.drop_duplicates([f"{id_col}_a", f"{id_col}_b"])
+    d = hamming64(
+        pr[f"{phash_col}_a"].to_numpy(np.int64),
+        pr[f"{phash_col}_b"].to_numpy(np.int64),
+    )
+    out = pd.DataFrame(
+        {
+            "id_a": pr[f"{id_col}_a"].to_numpy(),
+            "id_b": pr[f"{id_col}_b"].to_numpy(),
+            "hamming": d.astype(np.int64),
+        }
+    )
+    out = out[out["hamming"] <= max_hamming]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # ----------------------------------------------------- embedding near-dup
 
 

@@ -122,3 +122,26 @@ def test_embedding_neardup(ray_session):
     ).to_pandas()
     pairs = set(zip(out.get("id_a", []), out.get("id_b", [])))
     assert (4, 10) in pairs
+
+
+def test_phash_near_pairs(ray_session):
+    import ray
+
+    from searchengine_ray.sources.codec import phash64
+    from searchengine_ray.stages.dedup import phash_near_pairs
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, size=(24, 32, 3)).astype(np.uint8)
+    ph0 = phash64(base)
+    near = ph0 ^ 0b101  # flip 2 bits → hamming 2 (within one band)
+    far = rng.integers(-2**62, 2**62, size=20)
+    df = pd.DataFrame(
+        {
+            "image_id": [f"i{k}" for k in range(22)],
+            "phash": np.array([ph0, near] + list(far), np.int64),
+        }
+    )
+    out = phash_near_pairs(ray.data.from_pandas(df), max_hamming=6)
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert ("i0", "i1") in pairs
+    assert out.set_index(["id_a", "id_b"]).loc[("i0", "i1"), "hamming"] == 2

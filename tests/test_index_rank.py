@@ -120,3 +120,22 @@ def test_pagerank(ray_session):
     out = pagerank(eds, np.array([1, 2, 3], np.uint64), n_iters=5).set_index("node")
     assert out.loc[1, "rank"] > out.loc[3, "rank"]
     assert out.loc[3, "rank"] == pytest.approx(0.15, abs=1e-6)  # no inlinks
+
+
+def test_pagerank_paths_agree(ray_session):
+    import ray
+
+    from searchengine_ray.pipelines.rank import pagerank
+
+    rng = np.random.default_rng(11)
+    n = 40
+    src = rng.integers(1, n + 1, 200)
+    dst = rng.integers(1, n + 1, 200)
+    deg = pd.Series(src).map(pd.Series(src).value_counts()).to_numpy()
+    edges = pd.DataFrame({"src": src, "dst": dst, "out_degree": deg})
+    nodes = np.arange(1, n + 1, dtype=np.uint64)
+    eds = ray.data.from_pandas(edges)
+    fast = pagerank(eds, nodes, n_iters=3)
+    dist = pagerank(eds, nodes, n_iters=3, small_graph_threshold=0)
+    merged = fast.merge(dist, on="node", suffixes=("_f", "_d"))
+    assert np.allclose(merged["rank_f"], merged["rank_d"], atol=1e-9)
