@@ -113,6 +113,12 @@ def run_bench() -> dict:
     eng.ray.get(fut)
     results["payload_write"] = round(time.time() - t0, 3)
 
+    # release the crawl actor pools: idle fetch actors keep their
+    # num_cpus=1 reservations and would starve the Ray Data queries
+    for a in eng.fetch_actors + eng.host_actors + eng.seen_actors:
+        ray.kill(a)
+    del eng
+
     # ---- phash dedup over crawled content (Ray Data stage) ------------
     import ray.data as rd
 
@@ -192,7 +198,8 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("SCALING_LO", "8"))
+    hi = int(os.environ.get("SCALING_HI", "32"))
     # alternate levels so host-interference waves hit both equally;
     # take the best (least-interfered) run per level
     runs = {lo: [], hi: []}
