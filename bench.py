@@ -198,8 +198,8 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo = int(os.environ.get("SCALING_LO", "8"))
-    hi = int(os.environ.get("SCALING_HI", "32"))
+    lo = int(os.environ.get("SCALING_LO", "4"))
+    hi = int(os.environ.get("SCALING_HI", "16"))
     # alternate levels so host-interference waves hit both equally;
     # take the best (least-interfered) run per level
     runs = {lo: [], hi: []}
