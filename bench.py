@@ -7,10 +7,11 @@ $GRAFT_SF_DIR.  Prints ONE JSON line.
 
   PYTHONPATH=. python bench.py              # single run
   python bench.py --scaling                 # alternating fresh-process
-                                            #   runs at 8 vs 32 CPUs,
-                                            #   best-of-2 per level →
-                                            #   efficiency, recorded in
-                                            #   BASELINE.md
+                                            #   runs at N vs 4N CPUs
+                                            #   (SCALING_LO/HI, default
+                                            #   4 vs 16), best-of-3 per
+                                            #   level → efficiency,
+                                            #   recorded in BASELINE.md
 
 Notes:
 * crawl throughput times the WARM engine loop (actor-pool spin-up and
