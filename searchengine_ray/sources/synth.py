@@ -95,6 +95,44 @@ def gen_images(
     return pa.table(rows, schema=IMAGE_SCHEMA), pa.table(truth)
 
 
+class _LazyStrs:
+    """List-like view over a '\\x00'-joined UTF-8 blob: int indexing
+    and slicing decode on demand (the blob itself can sit in plasma
+    shared memory — no per-process list materialization)."""
+
+    __slots__ = ("blob", "_n", "_off")
+
+    def __init__(self, blob: bytes, n: int):
+        self.blob = blob
+        self._n = n
+        if n == 0:
+            self._off = np.zeros(1, np.int64)
+        else:
+            arr = np.frombuffer(blob, np.uint8)
+            zeros = np.nonzero(arr == 0)[0]
+            self._off = np.empty(n + 1, np.int64)
+            self._off[0] = 0
+            self._off[1:-1] = zeros + 1
+            self._off[-1] = len(blob) + 1  # virtual trailing separator
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            start, stop, step = i.indices(self._n)
+            return [self[j] for j in range(start, stop, step)]
+        if i < 0:
+            i += self._n
+        a, b = self._off[i], self._off[i + 1] - 1
+        return self.blob[a:b].decode("utf-8")
+
+    def __iter__(self):
+        if self._n:
+            for s in self.blob.decode("utf-8").split("\x00"):
+                yield s
+
+
 @dataclass
 class WebStore:
     """Compact columnar host→page store; broadcast once via ray.put.
@@ -130,20 +168,27 @@ class WebStore:
             )
 
     # compact pickling: the hot string lists serialize as one joined
-    # blob each (C-speed split on restore) instead of 100k+ small
-    # objects — broadcast cost drops ~10× for ray.put + per-actor get
+    # blob each instead of 100k+ small objects, and DESERIALIZE into a
+    # lazy view (decode-per-access) rather than a per-actor list of
+    # python strings — each actor's private heap stays ~MBs instead of
+    # ~100 MB (first-touch page faults are pathologically expensive in
+    # this sandbox VM, and GC scans shrink accordingly)
     _PACKED = ("urls", "links_flat_url", "captions", "image_ids")
 
     def __getstate__(self):
         st = self.__dict__.copy()
         for k in self._PACKED:
-            st[k] = "\x00".join(st[k]).encode("utf-8")
+            v = st[k]
+            if isinstance(v, _LazyStrs):
+                st[k] = (v.blob, len(v))
+            else:
+                st[k] = ("\x00".join(v).encode("utf-8"), len(v))
         return st
 
     def __setstate__(self, st):
         for k in self._PACKED:
-            blob = st[k]
-            st[k] = blob.decode("utf-8").split("\x00") if blob else []
+            blob, n = st[k]
+            st[k] = _LazyStrs(blob, n)
         self.__dict__.update(st)
 
     def _robots_scan(self, row: int) -> bool:
