@@ -891,6 +891,140 @@ def q30_fingerprint(sf_dir: str):
     return ds.map_batches(tx.fingerprint, batch_format="pandas")
 
 
+def q34_region_revenue(sf_dir: str):
+    """Three-hop broadcast join chain orders→customer→nation→region."""
+    import ray
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    nk = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
+    rk = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()))
+    rname = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    ref = ray.put((nk, rk, rname))
+
+    def add_region(t: pa.Table, small) -> pd.DataFrame:
+        nk_, rk_, rname_ = small
+        df = pd.DataFrame(
+            {
+                "r_name": [
+                    rname_.get(rk_.get(nk_.get(k, -1), -1), "")
+                    for k in t["o_custkey"].to_pylist()
+                ],
+                "revenue_cents": _cents(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+        return df.groupby("r_name", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"),
+            n_orders=("revenue_cents", "size"),
+        )
+
+    return _final_combine(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            _broadcast_fn(ref, add_region), batch_format="pyarrow"
+        ),
+        ["r_name"],
+        ["revenue_cents", "n_orders"],
+    )
+
+
+SQL_Q34 = """
+SELECT r.r_name,
+       CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def q35_props_extract(sf_dir: str):
+    """Semi-structured column extraction: parse the JSON props payload
+    and bucket-aggregate (the 'props' table column is the reference's
+    only schemaless payload analog)."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            b["props"]
+            .str.extract(r'"k":\s*(\d+)', expand=False)
+            .fillna(-1)
+            .astype("int64")
+        )
+        df = pd.DataFrame(
+            {"event_type": b["event_type"], "k_bucket": k % 10}
+        )
+        return df.groupby(["event_type", "k_bucket"], as_index=False).agg(
+            n=("k_bucket", "size")
+        )
+
+    return _final_combine(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["event_type", "k_bucket"],
+        ["n"],
+    )
+
+
+SQL_Q35 = """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q36_supplier_balance(sf_dir: str):
+    """supplier ⋈ nation grouped stats (acctbal as integer cents)."""
+    import ray
+
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nname = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    ref = ray.put(nname)
+
+    def add_nat(t: pa.Table, nn: dict) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "n_name": [nn.get(k, "") for k in t["s_nationkey"].to_pylist()],
+                "acctbal_cents": _cents(
+                    t["s_acctbal"].to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+        return df.groupby("n_name", as_index=False).agg(
+            acctbal_cents=("acctbal_cents", "sum"),
+            n_suppliers=("acctbal_cents", "size"),
+        )
+
+    return _final_combine(
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]).map_batches(
+            _broadcast_fn(ref, add_nat), batch_format="pyarrow"
+        ),
+        ["n_name"],
+        ["acctbal_cents", "n_suppliers"],
+    )
+
+
+SQL_Q36 = """
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(s.s_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+       COUNT(*) AS n_suppliers
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
 def q33_phash_near_dedup(sf_dir: str):
     """Hamming-near perceptual-hash duplicate pairs (band-bucket LSH
     + exact verify) over the synthetic images table."""
@@ -1038,6 +1172,9 @@ def queries():
         "q31_top_hosts": q31_top_hosts,
         "q32_crawl_rank_index_search": q32_crawl_rank_index_search,
         "q33_phash_near_dedup": q33_phash_near_dedup,
+        "q34_region_revenue": q34_region_revenue,
+        "q35_props_extract": q35_props_extract,
+        "q36_supplier_balance": q36_supplier_balance,
     }
 
 
@@ -1063,4 +1200,7 @@ def oracle_sql():
         "q22_inverted_index": SQL_Q22,
         "q26_brand_volume": SQL_Q26,
         "q27_best_order_per_customer": SQL_Q27,
+        "q34_region_revenue": SQL_Q34,
+        "q35_props_extract": SQL_Q35,
+        "q36_supplier_balance": SQL_Q36,
     }
