@@ -106,3 +106,55 @@ def test_checkpoint_resume_equivalence(ray_session, fixture_small, tmp_path):
     res = eng2.run()
     assert _order_tuples(res.crawl_order) == golden.crawl_order
     assert res.seen == golden.seen
+
+
+def test_payload_parquet_integrity(ray_session, fixture_small, tmp_path):
+    """Payload partitions written by fetch actors decode back to the
+    exact bytes/phash recorded in the content metadata."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.crawl import run_crawl
+    from searchengine_ray.sources.codec import decode_image, phash64
+
+    images, truth, store, seeds, cfg, golden = fixture_small
+    out = str(tmp_path / "pay")
+    res = _run_engine(fixture_small, out, 2, 2, write_payload=True)
+    parts = sorted(glob.glob(f"{out}/payload/epoch=*/part-*.parquet"))
+    assert parts, "payload partitions missing"
+    pay = pq.read_table(parts[0])
+    meta = {
+        int(s): (img, ph)
+        for s, img, ph in zip(
+            res.content["fetch_seq"].to_pylist(),
+            res.content["image_id"].to_pylist(),
+            res.content["phash"].to_pylist(),
+        )
+    }
+    for i in range(min(20, len(pay))):
+        seq = int(pay["fetch_seq"][i].as_py())
+        img_id, ph = meta[seq]
+        assert pay["image_id"][i].as_py() == img_id
+        px, _ = decode_image(pay["bytes"][i].as_py())
+        assert phash64(px) == ph
+
+
+def test_conformance_medium_scale(ray_session, tmp_path):
+    """Engine == oracle on a ~3.6k-URL crawl (larger politeness/skew
+    interleavings than the small fixture)."""
+    from searchengine_ray.pipelines.crawl import run_crawl
+
+    images, truth = synth.gen_images(200, seed=5)
+    store = synth.gen_web(2500, 200, seed=5)
+    synth.attach_captions(store, images)
+    seeds = synth.gen_seeds(store, 40, seed=5)
+    cfg = CrawlConfig(shard_count=12, per_shard_batch=400, seen_shards=4)
+    golden = simulate(seeds, store, cfg)
+    res = run_crawl(
+        seeds, store, images, truth, cfg=cfg,
+        out_dir=str(tmp_path / "med"), n_host_actors=4, n_fetch_actors=4,
+    )
+    assert _order_tuples(res.crawl_order) == golden.crawl_order
+    assert res.seen == golden.seen
