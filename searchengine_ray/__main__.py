@@ -99,6 +99,20 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_get(args) -> int:
+    from .pipelines.crawl import get_page
+
+    row = get_page(args.out, args.url)
+    if row is None:
+        print("not found", file=sys.stderr)
+        return 1
+    data = row.pop("bytes", None)
+    print(json.dumps(row, default=str))
+    if data is not None:
+        print(f"payload: {len(data)} bytes", file=sys.stderr)
+    return 0
+
+
 def cmd_list(args) -> int:
     from .pipelines.queries import oracle_sql, queries
 
@@ -136,6 +150,11 @@ def main(argv=None) -> int:
 
     l = sub.add_parser("list", help="list catalog queries")
     l.set_defaults(fn=cmd_list)
+
+    g = sub.add_parser("get", help="export one crawled page (S12 #get)")
+    g.add_argument("url")
+    g.add_argument("--out", default="/tmp/raycrawl_cli")
+    g.set_defaults(fn=cmd_get)
 
     args = p.parse_args(argv)
     return args.fn(args)

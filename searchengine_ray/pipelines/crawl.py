@@ -50,7 +50,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions import urlkernel as uk
 from ..sources import synth
 from ..state.cuckoo import SeenShard
 from ..state.host import HostShards
@@ -583,3 +582,35 @@ def run_crawl(
     )
     eng.admit_seeds(seeds)
     return eng.run(max_epochs=max_epochs)
+
+
+def get_page(out_dir: str, url: str):
+    """S12 `#get` analog (PageSearcher.cpp:119-138): fetch one crawled
+    page's record — content metadata + payload bytes — from a crawl
+    output directory (checkpointed run), by raw URL."""
+    import glob
+
+    from ..functions import urlkernel as uk
+
+    canon = uk.truncate_url(url)
+    if canon is None:
+        return None
+    h = uk.url_hash(canon)
+    for f in sorted(glob.glob(os.path.join(out_dir, "ckpt", "epoch=*", "content.parquet"))):
+        t = pq.read_table(f)
+        m = pc.equal(t["url_hash"], pa.scalar(h, pa.uint64()))
+        hit = t.filter(m)
+        if len(hit):
+            row = {k: hit[k][0].as_py() for k in hit.column_names if k != "links"}
+            seq = row["fetch_seq"]
+            for pf in sorted(
+                glob.glob(os.path.join(out_dir, "payload", "epoch=*", "part-*.parquet"))
+            ):
+                p = pq.read_table(pf)
+                pm = pc.equal(p["fetch_seq"], pa.scalar(seq, pa.int64()))
+                ph = p.filter(pm)
+                if len(ph):
+                    row["bytes"] = ph["bytes"][0].as_py()
+                    break
+            return row
+    return None

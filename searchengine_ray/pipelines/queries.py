@@ -789,19 +789,7 @@ def q21_crawl_order(sf_dir: str):
     """Flagship: deterministic crawl over the synthetic web — returns
     the crawl-order table (conformance vs the oracle is asserted in
     tests; here the driver checks stability/rows)."""
-    from ..sources import synth
-    from .crawl import run_crawl
-    from .oracle import CrawlConfig
-
-    images, truth = synth.gen_images(80, seed=42)
-    store = synth.gen_web(500, 80, seed=42)
-    synth.attach_captions(store, images)
-    seeds = synth.gen_seeds(store, 8, seed=42)
-    cfg = CrawlConfig(shard_count=4, per_shard_batch=100, seen_shards=2)
-    res = run_crawl(
-        seeds, store, images, truth, cfg=cfg,
-        out_dir="/tmp/raycrawl_q21", n_host_actors=2, n_fetch_actors=2,
-    )
+    _store, res = _small_crawl()
     return res.crawl_order
 
 
@@ -839,20 +827,9 @@ def q25_pagerank(sf_dir: str):
     """PageRank over the crawl's link graph (J3/A5)."""
     import ray
 
-    from ..sources import synth
-    from .crawl import run_crawl
-    from .oracle import CrawlConfig
     from .rank import edges_from_content, pagerank
 
-    images, truth = synth.gen_images(80, seed=42)
-    store = synth.gen_web(500, 80, seed=42)
-    synth.attach_captions(store, images)
-    seeds = synth.gen_seeds(store, 8, seed=42)
-    cfg = CrawlConfig(shard_count=4, per_shard_batch=100, seen_shards=2)
-    res = run_crawl(
-        seeds, store, images, truth, cfg=cfg,
-        out_dir="/tmp/raycrawl_q25", n_host_actors=2, n_fetch_actors=2,
-    )
+    _store, res = _small_crawl()
     crawled = set(res.content["url_hash"].to_pylist())
     edges = edges_from_content(res.content, crawled)
     if len(edges) == 0:
@@ -889,6 +866,32 @@ def q30_fingerprint(sf_dir: str):
     """Rolling-hash document fingerprints (order-sensitive identity)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(tx.fingerprint, batch_format="pandas")
+
+
+_SMALL_CRAWL_CACHE: dict = {}
+
+
+def _small_crawl(tag: str = "shared"):
+    """The small deterministic crawl shared by q21/q25/q31/q32
+    (identical seed/config → identical result; memoized per process so
+    the driver's sequential catalog sweep runs it once)."""
+    if tag in _SMALL_CRAWL_CACHE:
+        return _SMALL_CRAWL_CACHE[tag]
+    from ..sources import synth
+    from .crawl import run_crawl
+    from .oracle import CrawlConfig
+
+    images, truth = synth.gen_images(80, seed=42)
+    store = synth.gen_web(500, 80, seed=42)
+    synth.attach_captions(store, images)
+    seeds = synth.gen_seeds(store, 8, seed=42)
+    cfg = CrawlConfig(shard_count=4, per_shard_batch=100, seen_shards=2)
+    res = run_crawl(
+        seeds, store, images, truth, cfg=cfg,
+        out_dir=f"/tmp/raycrawl_{tag}", n_host_actors=2, n_fetch_actors=2,
+    )
+    _SMALL_CRAWL_CACHE[tag] = (store, res)
+    return store, res
 
 
 def q34_region_revenue(sf_dir: str):
@@ -1044,19 +1047,8 @@ def q31_top_hosts(sf_dir: str):
     from ray.data.aggregate import Count
 
     from ..functions import urlkernel as uk
-    from ..sources import synth
-    from .crawl import run_crawl
-    from .oracle import CrawlConfig
 
-    images, truth = synth.gen_images(80, seed=42)
-    store = synth.gen_web(500, 80, seed=42)
-    synth.attach_captions(store, images)
-    seeds = synth.gen_seeds(store, 8, seed=42)
-    cfg = CrawlConfig(shard_count=4, per_shard_batch=100, seen_shards=2)
-    res = run_crawl(
-        seeds, store, images, truth, cfg=cfg,
-        out_dir="/tmp/raycrawl_q31", n_host_actors=2, n_fetch_actors=2,
-    )
+    _store, res = _small_crawl()
 
     def add_host(t: pa.Table) -> pa.Table:
         hosts = uk.split_host_batch(t["url"].combine_chunks())
@@ -1081,21 +1073,10 @@ def q32_crawl_rank_index_search(sf_dir: str):
     Returns the top results table (rows-only check)."""
     import ray
 
-    from ..sources import synth
-    from .crawl import run_crawl
     from .index import SearchIndex, build_index
-    from .oracle import CrawlConfig
     from .rank import edges_from_content, pagerank
 
-    images, truth = synth.gen_images(80, seed=42)
-    store = synth.gen_web(500, 80, seed=42)
-    synth.attach_captions(store, images)
-    seeds = synth.gen_seeds(store, 8, seed=42)
-    cfg = CrawlConfig(shard_count=4, per_shard_batch=100, seen_shards=2)
-    res = run_crawl(
-        seeds, store, images, truth, cfg=cfg,
-        out_dir="/tmp/raycrawl_q32", n_host_actors=2, n_fetch_actors=2,
-    )
+    _store, res = _small_crawl()
     crawled = set(res.content["url_hash"].to_pylist())
     edges = edges_from_content(res.content, crawled)
     ranks = pagerank(
