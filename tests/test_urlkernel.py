@@ -139,3 +139,37 @@ def test_property_batch_equals_scalar_random():
     for j, i in enumerate(ok_idx):
         assert bool(mask[j]) == uk.filter_url(canon_l[i])[0], canon_l[i]
         assert int(hashes[j]) == uk.url_hash(canon_l[i])
+
+
+def test_hypothesis_batch_equals_scalar():
+    """Property test (hypothesis): vectorized kernels == scalar spec on
+    arbitrary URL-ish strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    url_chars = st.text(
+        alphabet="abchtps:/.www0123456789-_?&=%香港", min_size=0, max_size=40
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(url_chars, min_size=1, max_size=20))
+    def prop(raws):
+        canon, valid = uk.truncate_batch(pa.array(raws, type=pa.string()))
+        canon_l = canon.to_pylist()
+        for i, raw in enumerate(raws):
+            expect = uk.truncate_url(raw)
+            assert (expect is not None) == bool(valid[i]), raw
+            if expect is not None:
+                assert canon_l[i] == expect, raw
+        ok = [c for i, c in enumerate(canon_l) if valid[i]]
+        if ok:
+            sub = pa.array(ok, type=pa.string())
+            mask, _ = uk.filter_mask_batch(sub)
+            hashes = uk.url_hash_batch(sub)
+            hosts = uk.split_host_batch(sub).to_pylist()
+            for j, c in enumerate(ok):
+                assert bool(mask[j]) == uk.filter_url(c)[0], c
+                assert int(hashes[j]) == uk.url_hash(c), c
+                assert hosts[j] == uk.split_host(c), c
+
+    prop()
