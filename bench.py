@@ -31,6 +31,15 @@ import subprocess
 import sys
 import time
 
+# make the repo importable regardless of the caller's cwd, and for Ray
+# worker processes (they don't inherit driver sys.path)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
