@@ -238,9 +238,9 @@ def run_scaling() -> None:
 
 def _update_baseline(report: dict) -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
-    marker = "<!-- scaling-results -->"
+    marker = "<!-- scaling-latest -->"
     block = (
-        f"{marker}\n## Measured scaling (bench.py --scaling)\n\n"
+        f"{marker}\n## Latest --scaling run (auto-updated; canonical record above)\n\n"
         f"| num_cpus | crawl sec (warm loop) | URLs/s (best of interleaved runs) |\n|---|---|---|\n"
         f"| {report['num_cpus_lo']} | {report['sec_lo']} | {report['urls_per_s_lo']} |\n"
         f"| {report['num_cpus_hi']} | {report['sec_hi']} | {report['urls_per_s_hi']} |\n\n"
