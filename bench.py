@@ -244,10 +244,7 @@ def _update_baseline(report: dict) -> None:
         f"| num_cpus | crawl sec (warm loop) | URLs/s (best of interleaved runs) |\n|---|---|---|\n"
         f"| {report['num_cpus_lo']} | {report['sec_lo']} | {report['urls_per_s_lo']} |\n"
         f"| {report['num_cpus_hi']} | {report['sec_hi']} | {report['urls_per_s_hi']} |\n\n"
-        f"All runs (URLs/s): {report['all_runs']}\n"
-        f"(best clean measurement observed during tuning: 4,730 → 12,884\n"
-        f"URLs/s = 0.68 efficiency; the fetch stage alone measures 0.82 —\n"
-        f"see commit history for the phase analysis)\n\n"
+        f"All runs (URLs/s): {report['all_runs']}\n\n"
         f"Scaling efficiency ({report['num_cpus_lo']}→{report['num_cpus_hi']} CPUs): "
         f"**{report['scaling_efficiency']}** (target ≥ 0.8 per north rule; two\n"
         f"fresh-process parallelism levels stand in for N vs 4N nodes in this\n"
