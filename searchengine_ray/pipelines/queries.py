@@ -66,6 +66,15 @@ def _broadcast_fn(ref, fn):
 
 
 
+def _ncpus() -> int:
+    import ray
+
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
+
 def _final_combine(partials_ds, keys: list, sums: list) -> pd.DataFrame:
     """Finish a map-side-combined aggregate on the driver: the partial
     rows are tiny (one row per group per batch), so Ray's shuffle-based
@@ -169,35 +178,37 @@ FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 10
 
 
 def q03_revenue_by_segment(sf_dir: str):
-    """Broadcast join (J2 pattern): dimension table via ray.put, fact
-    stream maps a dict lookup per batch — no shuffle join."""
-    import ray
-    from ray.data.aggregate import Count, Sum
+    """Hash shuffle join (J2 pattern): customer is SF-proportional, so
+    it is joined via Ray's hash-partitioned join rather than broadcast
+    (broadcast is reserved for the genuinely tiny nation/region dims).
+    The joined stream pre-aggregates per batch; only ~5 segment rows
+    per batch reach the driver final."""
 
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
-    )
-    seg_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    ref = ray.put(seg_of)
-
-    def add_seg(t: pa.Table, seg: dict) -> pd.DataFrame:
+    def prep(t: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame(
             {
-                "c_mktsegment": [seg.get(k, "") for k in t["o_custkey"].to_pylist()],
+                "c_mktsegment": t["c_mktsegment"].to_pandas(),
                 "revenue_cents": _cents(
                     t["o_totalprice"].to_numpy(zero_copy_only=False)
                 ),
             }
         )
-        part = df.groupby("c_mktsegment", as_index=False).agg(
+        return df.groupby("c_mktsegment", as_index=False).agg(
             revenue_cents=("revenue_cents", "sum"),
             n_orders=("revenue_cents", "size"),
         )
-        return part
 
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=_ncpus(),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
     return _final_combine(
-        ds.map_batches(_broadcast_fn(ref, add_seg), batch_format="pyarrow"),
+        joined.map_batches(prep, batch_format="pyarrow"),
         ["c_mktsegment"],
         ["revenue_cents", "n_orders"],
     )
@@ -213,27 +224,28 @@ GROUP BY c.c_mktsegment
 
 
 def q04_customers_without_orders(sf_dir: str):
-    """Anti-join via broadcast key set (J1 frontier-dedup pattern)."""
-    import ray
+    """Distributed anti-join (J1 frontier-dedup pattern): orders is
+    SF-proportional, so the anti side is hash-partitioned, not a
+    broadcast key set.  Order keys are pre-deduped per batch before the
+    shuffle (combiner-first)."""
 
-    okeys = set(
-        pq.read_table(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])[
-            "o_custkey"
-        ].to_pylist()
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": pc.unique(t["o_custkey"].combine_chunks())})
+
+    okeys = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        distinct_keys, batch_format="pyarrow"
     )
-    ref = ray.put(okeys)
-
-    class Anti:
-        def __init__(self):
-            self.keys = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = [k not in self.keys for k in t["c_custkey"].to_pylist()]
-            return t.filter(pa.array(mask))
-
-    out = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
-        Anti, batch_format="pyarrow", concurrency=2
-    ).to_pandas()
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .join(
+            okeys,
+            join_type="left_anti",
+            num_partitions=_ncpus(),
+            on=("c_custkey",),
+            right_on=("o_custkey",),
+        )
+        .to_pandas()
+    )
     if out.empty:  # empty Ray results lose their schema; keep it stable
         out = pd.DataFrame(
             {"c_custkey": pd.Series([], dtype="int64"),
@@ -249,28 +261,22 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 
 def q05_nation_orders(sf_dir: str):
-    """Two-hop broadcast join chain orders→customer→nation."""
+    """orders ⋈ customer is a hash shuffle join (customer scales with
+    SF); the nation name lookup stays a broadcast — nation is a fixed
+    25-row dim, the legitimate broadcast case."""
     import ray
-    from ray.data.aggregate import Count, Sum
 
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    )
     nat = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     )
-    nk = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
     nname = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
-    ref = ray.put((nk, nname))
+    ref = ray.put(nname)
 
-    def add_nation(t: pa.Table, small) -> pd.DataFrame:
-        nk_, nname_ = small
+    def add_nation(t: pa.Table, nname_) -> pd.DataFrame:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
         df = pd.DataFrame(
             {
-                "n_name": [
-                    nname_.get(nk_.get(k, -1), "")
-                    for k in t["o_custkey"].to_pylist()
-                ],
+                "n_name": pd.Series(nk).map(nname_).fillna(""),
                 "revenue_cents": _cents(
                     t["o_totalprice"].to_numpy(zero_copy_only=False)
                 ),
@@ -281,10 +287,17 @@ def q05_nation_orders(sf_dir: str):
             n_orders=("revenue_cents", "size"),
         )
 
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=_ncpus(),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
     return _final_combine(
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-            _broadcast_fn(ref, add_nation), batch_format="pyarrow"
-        ),
+        joined.map_batches(_broadcast_fn(ref, add_nation), batch_format="pyarrow"),
         ["n_name"],
         ["revenue_cents", "n_orders"],
     )
@@ -409,16 +422,23 @@ def q09_top_users(sf_dir: str):
             n_events=("value_cents", "size"),
         )
 
-    agg = _final_combine(
-        ds.map_batches(prep, batch_format="pyarrow"),
-        ["user_id"],
-        ["value_cents", "n_events"],
+    # user_id cardinality scales with SF, so the final combine is a
+    # Ray hash-shuffle aggregate over the per-batch partials (the
+    # driver only ever holds the top-20 result)
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("value_cents", alias_name="value_cents"),
+            Sum("n_events", alias_name="n_events"),
+        )
+        .sort(["value_cents", "user_id"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
     )
-    return (
-        agg.sort_values(["value_cents", "user_id"], ascending=[False, True])
-        .head(20)
-        .reset_index(drop=True)
-    )
+    for c in ("value_cents", "n_events"):
+        agg[c] = agg[c].astype("int64")
+    return agg.reset_index(drop=True)
 
 
 SQL_Q09 = """
@@ -458,15 +478,20 @@ FROM documents
 
 
 def q12_word_counts(sf_dir: str):
-    """Word count with per-batch combiner before the shuffle."""
+    """Word count with per-batch combiner before the shuffle; the
+    final combine is a Ray groupby over the partials — the vocabulary
+    itself scales with the corpus, so it never lands on the driver."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "documents", ["text"])
-    return _final_combine(
-        ds.map_batches(tx.word_count_partial, batch_format="pandas"),
-        ["word"],
-        ["cnt"],
+    out = (
+        ds.map_batches(tx.word_count_partial, batch_format="pandas")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
     )
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
 
 
 SQL_Q12 = f"""
@@ -507,8 +532,8 @@ SELECT doc_id,
        len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1000000 // len(toks)
          AS stopword_ppm,
        len(list_distinct(toks)) * 1000000 // len(toks) AS type_token_ppm,
-       list_aggregate(list_transform(toks, x -> len(x)), 'sum') * 1000000
-         // len(toks) AS mean_token_len_ppm
+       CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') * 1000000
+         // len(toks) AS BIGINT) AS mean_token_len_ppm
 FROM t WHERE len(toks) > 0
 """
 
@@ -581,16 +606,22 @@ def q17_simhash(sf_dir: str):
 
 
 def q18_jaccard_pairs(sf_dir: str):
-    """Exact n-gram Jaccard near-dup pairs: shingle explode →
-    groupby(shingle) → pair counts → ratio filter."""
-    from ray.data.aggregate import Count
+    """Exact n-gram Jaccard near-dup pairs, fully distributed:
+    shingle explode (each row carrying its doc's distinct-shingle
+    count) → hash-partition by shingle → per-partition vectorized
+    self-merge emitting partial pair counts → Ray groupby(pair) sum →
+    ratio filter.  No full-dataset driver materialization; the driver
+    only holds the final thresholded pair list."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.hashing import fnv1a64_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     K = 5
+    npart = _ncpus()
 
     def shingles(b: pd.DataFrame) -> pd.DataFrame:
-        ids, shs = [], []
-        sizes_id, sizes_n = [], []
+        ids, shs, ns = [], [], []
         for doc_id, text in zip(b["doc_id"], b["text"]):
             toks = tx.TOKEN_RE.findall(str(text).lower())
             ss = set(
@@ -599,34 +630,66 @@ def q18_jaccard_pairs(sf_dir: str):
             for s in ss:
                 ids.append(doc_id)
                 shs.append(s)
-        return pd.DataFrame({"doc_id": ids, "shingle": shs})
+                ns.append(len(ss))
+        out = pd.DataFrame({"doc_id": ids, "shingle": shs, "n": ns})
+        h = fnv1a64_batch(pa.array(out["shingle"], type=pa.string()))
+        out["part"] = (h % np.uint64(npart)).astype(np.int64)
+        return out
 
-    # shingling is the parallel (map) side; the pair join over distinct
-    # shingles runs as one vectorized merge (at 100 TB this becomes a
-    # hash-partition by shingle + per-partition merge — same shape,
-    # partition key documented in SURVEY §7.4)
-    sh_pdf = ds.map_batches(shingles, batch_format="pandas").to_pandas()
-    if len(sh_pdf) == 0:
-        return pd.DataFrame({"ia": [], "ib": [], "jaccard": []})
-    sizes = sh_pdf.groupby("doc_id").size()
-    n_of = sizes.to_dict()
-    pr = sh_pdf.merge(sh_pdf, on="shingle", suffixes=("_a", "_b"))
-    pr = pr[pr["doc_id_a"] < pr["doc_id_b"]]
-    if len(pr) == 0:
-        return pd.DataFrame({"ia": [], "ib": [], "jaccard": []})
-    cnt = (
-        pr.groupby(["doc_id_a", "doc_id_b"], as_index=False)
-        .size()
-        .rename(columns={"doc_id_a": "ia", "doc_id_b": "ib"})
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of any given shingle are in this partition, so the
+        # self-merge is complete for these shingles; one vectorized
+        # pandas merge per partition, never per group
+        pr = g.merge(g, on="shingle", suffixes=("_a", "_b"))
+        pr = pr[pr["doc_id_a"] < pr["doc_id_b"]]
+        if len(pr) == 0:
+            return pd.DataFrame(
+                {
+                    "ia": pd.Series([], dtype="int64"),
+                    "ib": pd.Series([], dtype="int64"),
+                    "inter": pd.Series([], dtype="int64"),
+                    "na": pd.Series([], dtype="int64"),
+                    "nb": pd.Series([], dtype="int64"),
+                }
+            )
+        cnt = (
+            pr.groupby(["doc_id_a", "doc_id_b"], as_index=False)
+            .agg(inter=("shingle", "size"), na=("n_a", "max"), nb=("n_b", "max"))
+            .rename(columns={"doc_id_a": "ia", "doc_id_b": "ib"})
+        )
+        return cnt
+
+    partials = (
+        ds.map_batches(shingles, batch_format="pandas")
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pandas")
     )
-    na = cnt["ia"].map(n_of).to_numpy(np.int64)
-    nb = cnt["ib"].map(n_of).to_numpy(np.int64)
-    inter = cnt["size"].to_numpy(np.int64)
-    j = inter * 1.0 / (na + nb - inter)
-    out = pd.DataFrame(
-        {"ia": cnt["ia"], "ib": cnt["ib"], "jaccard": np.round(j, 6)}
+    agg = partials.groupby(["ia", "ib"]).aggregate(
+        Sum("inter", alias_name="inter"),
+        Max("na", alias_name="na"),
+        Max("nb", alias_name="nb"),
     )
-    return out[out["jaccard"] >= 0.5].sort_values(["ia", "ib"]).reset_index(drop=True)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        inter = b["inter"].to_numpy(np.int64)
+        na = b["na"].to_numpy(np.int64)
+        nb = b["nb"].to_numpy(np.int64)
+        j = inter * 1.0 / (na + nb - inter)
+        out = pd.DataFrame(
+            {"ia": b["ia"], "ib": b["ib"], "jaccard": np.round(j, 6)}
+        )
+        return out[out["jaccard"] >= 0.5]
+
+    out = agg.map_batches(finish, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "ia": pd.Series([], dtype="int64"),
+                "ib": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values(["ia", "ib"]).reset_index(drop=True)
 
 
 SQL_Q18 = f"""
@@ -698,20 +761,13 @@ FROM x GROUP BY word, doc_id
 
 
 def q26_brand_volume(sf_dir: str):
-    """lineitem ⋈ part broadcast join + grouped aggregate."""
-    import ray
-    from ray.data.aggregate import Count, Sum
+    """lineitem ⋈ part hash shuffle join + grouped aggregate (part is
+    SF-proportional — 200k×SF rows — so no broadcast)."""
 
-    part = pq.read_table(
-        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
-    )
-    brand = dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist()))
-    ref = ray.put(brand)
-
-    def add_brand(t: pa.Table, br: dict) -> pd.DataFrame:
+    def prep(t: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame(
             {
-                "p_brand": [br.get(k, "") for k in t["l_partkey"].to_pylist()],
+                "p_brand": t["p_brand"].to_pandas(),
                 "qty_cents": _cents(t["l_quantity"].to_numpy(zero_copy_only=False)),
             }
         )
@@ -719,10 +775,17 @@ def q26_brand_volume(sf_dir: str):
             qty_cents=("qty_cents", "sum"), n_items=("qty_cents", "size")
         )
 
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = li.join(
+        part,
+        join_type="inner",
+        num_partitions=_ncpus(),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
     return _final_combine(
-        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
-            _broadcast_fn(ref, add_brand), batch_format="pyarrow"
-        ),
+        joined.map_batches(prep, batch_format="pyarrow"),
         ["p_brand"],
         ["qty_cents", "n_items"],
     )
@@ -895,31 +958,27 @@ def _small_crawl(tag: str = "shared"):
 
 
 def q34_region_revenue(sf_dir: str):
-    """Three-hop broadcast join chain orders→customer→nation→region."""
+    """orders ⋈ customer hash shuffle join (SF-scaling side), then the
+    nation→region hops stay broadcasts — both dims are fixed-size (25
+    and 5 rows)."""
     import ray
 
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    )
     nat = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
     )
     reg = pq.read_table(
         os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
     )
-    nk = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
     rk = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()))
     rname = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
-    ref = ray.put((nk, rk, rname))
+    rname_of_nation = {n: rname.get(r, "") for n, r in rk.items()}
+    ref = ray.put(rname_of_nation)
 
-    def add_region(t: pa.Table, small) -> pd.DataFrame:
-        nk_, rk_, rname_ = small
+    def add_region(t: pa.Table, lookup) -> pd.DataFrame:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
         df = pd.DataFrame(
             {
-                "r_name": [
-                    rname_.get(rk_.get(nk_.get(k, -1), -1), "")
-                    for k in t["o_custkey"].to_pylist()
-                ],
+                "r_name": pd.Series(nk).map(lookup).fillna(""),
                 "revenue_cents": _cents(
                     t["o_totalprice"].to_numpy(zero_copy_only=False)
                 ),
@@ -930,10 +989,17 @@ def q34_region_revenue(sf_dir: str):
             n_orders=("revenue_cents", "size"),
         )
 
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=_ncpus(),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
     return _final_combine(
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-            _broadcast_fn(ref, add_region), batch_format="pyarrow"
-        ),
+        joined.map_batches(_broadcast_fn(ref, add_region), batch_format="pyarrow"),
         ["r_name"],
         ["revenue_cents", "n_orders"],
     )

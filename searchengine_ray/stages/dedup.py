@@ -18,6 +18,15 @@ import pyarrow as pa
 from ..functions.hashing import fnv1a64_batch
 from .text import TOKEN_RE, hash_word, shingle_set
 
+
+def _ncpus() -> int:
+    import ray
+
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
 # ------------------------------------------------------------- exact dedup
 
 
@@ -117,6 +126,17 @@ def minhash_lsh_pairs(
     """shingle → minhash → band buckets → candidate pairs → verify
     estimated Jaccard ≥ threshold.  Returns dataset of
     (id_a, id_b, jaccard_est) with id_a < id_b."""
+    from ray.data.aggregate import Count
+
+    npart = _ncpus()
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "jaccard_est": pd.Series([], dtype="float64"),
+        }
+    )
+
     sigs = ds.map_batches(
         lambda b: minhash_signatures(
             b, text_col, id_col, num_perm, shingle_k, seed
@@ -124,32 +144,101 @@ def minhash_lsh_pairs(
         batch_format="pandas",
     )
     sig_mat = sigs.materialize()
-    bands_ds = sig_mat.map_batches(
-        lambda b: lsh_bands(b, id_col, bands), batch_format="pandas"
+
+    def bands_part(b: pd.DataFrame) -> pd.DataFrame:
+        out = lsh_bands(b, id_col, bands)
+        part = (
+            out["band_hash"].to_numpy(np.uint64)
+            + (out["band_id"].to_numpy(np.uint64) << np.uint64(56))
+        ) % np.uint64(npart)
+        out["part"] = part.astype(np.int64)
+        return out
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of any (band_id, band_hash) bucket land in this
+        # partition; one vectorized self-merge covers every bucket here
+        pr = g.merge(g, on=["band_id", "band_hash"], suffixes=("_a", "_b"))
+        pr = pr[pr[f"{id_col}_a"] < pr[f"{id_col}_b"]]
+        out = pr[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
+        out.columns = ["id_a", "id_b"]
+        if out.empty:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                }
+            )
+        return out
+
+    cand = (
+        sig_mat.map_batches(bands_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    if cand.count() == 0:
+        return empty
+
+    # hash-partition joins of candidate pairs against the signature
+    # table (keyed on doc id) — the 100-TB verify path, no driver
+    # materialization of either side.  Signatures travel as packed
+    # fixed-width bytes (acero joins don't carry list columns).
+    def pack(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: b[id_col],
+                "sigb": [np.asarray(s, np.uint64).tobytes() for s in b["sig"]],
+            }
+        )
+
+    sig_pack = sig_mat.map_batches(pack, batch_format="pandas")
+    withe_a = cand.join(
+        sig_pack,
+        join_type="inner",
+        num_partitions=npart,
+        on=("id_a",),
+        right_on=(id_col,),
+    ).map_batches(
+        lambda b: b.rename(columns={"sigb": "sig_a"}).drop(
+            columns=[id_col], errors="ignore"
+        ),
+        batch_format="pandas",
+    )
+    with_both = withe_a.join(
+        sig_pack,
+        join_type="inner",
+        num_partitions=npart,
+        on=("id_b",),
+        right_on=(id_col,),
+    ).map_batches(
+        lambda b: b.rename(columns={"sigb": "sig_b"}).drop(
+            columns=[id_col], errors="ignore"
+        ),
+        batch_format="pandas",
     )
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "jaccard_est": pd.Series([], dtype="float64"),
+                }
+            )
+        a = np.stack([np.frombuffer(s, np.uint64) for s in b["sig_a"]])
+        bb = np.stack([np.frombuffer(s, np.uint64) for s in b["sig_b"]])
+        est = (a == bb).mean(axis=1)
+        out = pd.DataFrame(
+            {"id_a": b["id_a"], "id_b": b["id_b"], "jaccard_est": est}
+        )
+        return out[out["jaccard_est"] >= threshold]
 
-    cand = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_of_bucket, batch_format="pandas"
-    )
-    cand_pdf = cand.to_pandas()
-    if len(cand_pdf) == 0:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_est": []})
-    cand_pdf = cand_pdf.drop_duplicates()
-    sig_pdf = sig_mat.to_pandas().set_index(id_col)["sig"]
-    a = np.stack([np.asarray(sig_pdf[i], np.uint64) for i in cand_pdf["id_a"]])
-    b = np.stack([np.asarray(sig_pdf[i], np.uint64) for i in cand_pdf["id_b"]])
-    est = (a == b).mean(axis=1)
-    cand_pdf["jaccard_est"] = est
-    out = cand_pdf[cand_pdf["jaccard_est"] >= threshold].reset_index(drop=True)
+    out = with_both.map_batches(verify, batch_format="pandas").to_pandas()
+    if out.empty:
+        return empty
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -249,24 +338,60 @@ def phash_near_pairs(
             )
         return pd.concat(out, ignore_index=True)
 
-    bdf = ds.map_batches(bands, batch_format="pandas").to_pandas()
-    pr = bdf.merge(bdf, on=["band", "key"], suffixes=("_a", "_b"))
-    pr = pr[pr[f"{id_col}_a"] < pr[f"{id_col}_b"]]
-    if len(pr) == 0:
-        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-    pr = pr.drop_duplicates([f"{id_col}_a", f"{id_col}_b"])
-    d = hamming64(
-        pr[f"{phash_col}_a"].to_numpy(np.int64),
-        pr[f"{phash_col}_b"].to_numpy(np.int64),
-    )
-    out = pd.DataFrame(
+    from ray.data.aggregate import Min
+
+    npart = _ncpus()
+    empty = pd.DataFrame(
         {
-            "id_a": pr[f"{id_col}_a"].to_numpy(),
-            "id_b": pr[f"{id_col}_b"].to_numpy(),
-            "hamming": d.astype(np.int64),
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64"),
         }
     )
-    out = out[out["hamming"] <= max_hamming]
+
+    def bands_part(b: pd.DataFrame) -> pd.DataFrame:
+        out = bands(b)
+        part = (
+            out["key"].to_numpy(np.int64) + (out["band"].to_numpy(np.int64) << 16)
+        ) % npart
+        out["part"] = part
+        return out
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # every (band, key) bucket is whole within this partition:
+        # vectorized self-merge + exact Hamming verify, per partition
+        pr = g.merge(g, on=["band", "key"], suffixes=("_a", "_b"))
+        pr = pr[pr[f"{id_col}_a"] < pr[f"{id_col}_b"]]
+        if len(pr) == 0:
+            return empty
+        pr = pr.drop_duplicates([f"{id_col}_a", f"{id_col}_b"])
+        d = hamming64(
+            pr[f"{phash_col}_a"].to_numpy(np.int64),
+            pr[f"{phash_col}_b"].to_numpy(np.int64),
+        )
+        out = pd.DataFrame(
+            {
+                "id_a": pr[f"{id_col}_a"].to_numpy(),
+                "id_b": pr[f"{id_col}_b"].to_numpy(),
+                "hamming": d.astype(np.int64),
+            }
+        )
+        return out[out["hamming"] <= max_hamming]
+
+    # partition merge emits each surviving pair once per matching
+    # band-bucket partition; the groupby(pair) Min dedups (identical
+    # hamming on every copy)
+    out = (
+        ds.map_batches(bands_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .to_pandas()
+    )
+    if out.empty:
+        return empty
+    out["hamming"] = out["hamming"].astype("int64")
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
