@@ -59,28 +59,32 @@ def word_rows(
     Per word keep the max weighted rank + its position (A1); position
     counter caps at 65535; total words per page cap 2000; ranks
     normalized so Σ = page rank (A3); bf16-quantized.  With
-    ``phrases=True`` adjacent-token bigrams are also emitted, truncated
-    to 24 chars — the reference's main dict stores words AND
-    space-containing phrases in its 24-byte rows (``DictWord``,
-    ``SearchEngine.h:424-425``), which is what phrase queries
-    prefix-match against.
+    ``phrases=True`` every n-gram of adjacent tokens whose joined text
+    fits 24 chars is also emitted (plus the first 24-char truncation
+    once a chain overflows) — the reference's main dict stores words
+    AND arbitrary space-containing phrases in its 24-byte rows
+    (``DictWord``, ``SearchEngine.h:424-425``), so a quoted 3+-word
+    query can prefix-match a stored phrase entry
+    (``PageSearcher.cpp:47-66``).
     """
+    # ≥1 char + separator per token → at most 12 tokens can contribute
+    # distinct prefixes of a 24-char phrase entry
+    max_chain = MAIN_WORD_SIZE // 2
     out_w, out_r, out_p, out_pos = [], [], [], []
     for i in range(len(batch)):
         doc_id = int(batch[id_col].iloc[i])
         page_rank = float(batch[rank_col].iloc[i]) if rank_col else 1.0
         best: dict[str, tuple[float, int]] = {}
         pos = 0
-        prev_tok = None
         streams = []
         if title_col:
             streams.append((WEIGHT_TITLE, str(batch[title_col].iloc[i])))
         streams.append((WEIGHT_BODY, str(batch[body_col].iloc[i])))
         for weight, text in streams:
-            prev_tok = None  # phrases don't span streams
+            chain: list[tuple[str, int]] = []  # phrases don't span streams
             for tok in TOKEN_RE.findall(text.lower()):
                 if tok in STOPWORDS:
-                    prev_tok = None  # a stopword breaks the phrase chain
+                    chain = []  # a stopword breaks the phrase chain
                     continue
                 if pos >= 65535:
                     break
@@ -88,12 +92,23 @@ def word_rows(
                 cur = best.get(tok)
                 if cur is None or w > cur[0]:
                     best[tok] = (w, pos)
-                if phrases and prev_tok is not None:
-                    ph = (prev_tok + " " + tok)[:MAIN_WORD_SIZE]
-                    curp = best.get(ph)
-                    if curp is None or w > curp[0]:
-                        best[ph] = (w, pos - 1)
-                prev_tok = tok
+                if phrases and chain:
+                    # extend backwards: emit every n-gram ending at tok,
+                    # anchored at the position of its first token; stop
+                    # once the joined phrase overflows 24 chars (longer
+                    # chains share the same truncated key)
+                    ph = tok
+                    for ptok, ppos in reversed(chain):
+                        ph = ptok + " " + ph
+                        key = ph[:MAIN_WORD_SIZE]
+                        curp = best.get(key)
+                        if curp is None or w > curp[0]:
+                            best[key] = (w, ppos)
+                        if len(ph) >= MAIN_WORD_SIZE:
+                            break
+                chain.append((tok, pos))
+                if len(chain) > max_chain:
+                    chain.pop(0)
                 pos += 1
         if not best:
             continue
@@ -189,13 +204,17 @@ class SearchIndex:
 
     def _range(self, term: str) -> tuple[int, int]:
         phrase = " " in term
-        lo = np.searchsorted(self.words, term, side="left")
         if phrase:
-            # prefix/word-boundary match for phrases (PageSearcher.cpp:47-66)
+            # stored phrase entries are truncated to 24 chars, so a
+            # longer quoted query prefix-matches on its 24-char key
+            # (PageSearcher.cpp:47-66; DictWord SearchEngine.h:424-425)
+            key = term[:MAIN_WORD_SIZE]
+            lo = int(np.searchsorted(self.words, key, side="left"))
             hi = lo
-            while hi < len(self.words) and str(self.words[hi]).startswith(term):
+            while hi < len(self.words) and str(self.words[hi]).startswith(key):
                 hi += 1
             return int(lo), int(hi)
+        lo = np.searchsorted(self.words, term, side="left")
         hi = np.searchsorted(self.words, term, side="right")
         return int(lo), int(hi)
 

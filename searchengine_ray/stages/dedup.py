@@ -248,26 +248,36 @@ def minhash_lsh_pairs(
 def simhash_batch(
     batch: pd.DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> pd.DataFrame:
-    """64-bit SimHash over token hashes (weight = term frequency)."""
-    out_ids, out_hash = [], []
-    for doc_id, text in zip(batch[id_col], batch[text_col]):
-        toks = TOKEN_RE.findall(str(text).lower())
-        if not toks:
-            out_ids.append(doc_id)
-            out_hash.append(0)
-            continue
-        hs = np.array([hash_word(w) for w in toks], np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
+    """64-bit SimHash over token hashes (weight = term frequency).
+
+    Fully vectorized: every token in the batch is hashed in one
+    ``fnv1a64_batch`` call (same 61-bit-masked values as ``hash_word``)
+    and the per-doc bit-vote sums come from ``np.add.reduceat`` over
+    the flat token-bit matrix — no per-token Python hashing."""
+    from .text import _FP_MASK
+
+    tok_lists = [TOKEN_RE.findall(str(t).lower()) for t in batch[text_col]]
+    counts = np.array([len(t) for t in tok_lists], np.int64)
+    n = len(batch)
+    out_hash = np.zeros(n, np.uint64)
+    flat = [w for ts in tok_lists for w in ts]
+    if flat:
+        hs = fnv1a64_batch(pa.array(flat, type=pa.string())) & np.uint64(_FP_MASK)
+        # bit matrix via unpackbits (little-endian bytes → bit j of h)
+        bits = np.unpackbits(
+            hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
         )
-        v = (2 * bits - 1).sum(axis=0)
-        sh = 0
-        for bit in range(64):
-            if v[bit] > 0:
-                sh |= 1 << bit
-        out_ids.append(doc_id)
-        out_hash.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
-    return pd.DataFrame({id_col: out_ids, "simhash": np.array(out_hash, np.int64)})
+        nz = counts > 0
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nz]
+        ones = np.add.reduceat(bits.astype(np.int32), starts, axis=0)
+        # majority vote: Σ(2b−1) > 0  ⟺  2·ones > n_tokens
+        pos = (2 * ones) > counts[nz, None]
+        out_hash[nz] = np.packbits(pos, axis=1, bitorder="little").view(
+            np.uint64
+        ).ravel()
+    return pd.DataFrame(
+        {id_col: batch[id_col].to_numpy(), "simhash": out_hash.view(np.int64)}
+    )
 
 
 # ---------------------------------------------------------------- phash dedup

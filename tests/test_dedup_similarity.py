@@ -145,3 +145,17 @@ def test_phash_near_pairs(ray_session):
     pairs = set(zip(out["id_a"], out["id_b"]))
     assert ("i0", "i1") in pairs
     assert out.set_index(["id_a", "id_b"]).loc[("i0", "i1"), "hamming"] == 2
+
+
+def test_q29_planted_neardups_recovered(ray_session):
+    """q29 plants perturbed copies (vec_id + 1_000_000) of the first 20
+    embeddings; the hyperplane-LSH pipeline must recover every planted
+    pair — a real recall check, not a 0-row no-op."""
+    from searchengine_ray.pipelines.queries import q29_embedding_neardup
+
+    out = q29_embedding_neardup("/root/testdata/sf0.001")
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    planted = {(i, i + 1_000_000) for i in range(20)}
+    assert planted <= pairs, sorted(planted - pairs)

@@ -99,6 +99,41 @@ def test_build_and_search(ray_session):
     assert hosts.count("s0") == 1
 
 
+def test_multiword_phrase_search(ray_session):
+    """A quoted 3+-word query must prefix-match a stored phrase entry
+    (DictWord stores any space-containing phrase up to 24 bytes,
+    SearchEngine.h:424-425 / PageSearcher.cpp:47-66) — a bigram-only
+    index can never satisfy this."""
+    import pyarrow as pa
+    import ray
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "red brick wall stands tall",
+                "red wall brick unrelated order",
+                "green brick wall here",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs)
+    tbl = pa.Table.from_pandas(build_index(ds).to_pandas(), preserve_index=False)
+    idx = SearchIndex(tbl)
+    # trigram phrase: only doc 0 has the exact adjacent sequence
+    r = idx.search('"red brick wall"')
+    assert set(r["page_index"]) == {0}
+    # 4-gram too
+    r = idx.search('"red brick wall stands"')
+    assert set(r["page_index"]) == {0}
+    # a query longer than 24 chars matches via its 24-char prefix key
+    assert len('"red brick wall stands tall"') - 2 > 24
+    r = idx.search('"red brick wall stands tall"')
+    assert set(r["page_index"]) == {0}
+    # phrases with a different word order do NOT match
+    assert len(idx.search('"brick red wall"')) == 0
+
+
 def test_pagerank(ray_session):
     import ray
 
