@@ -51,6 +51,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..sources import synth
+from ..sources.storage import VersionedTable
 from ..state.cuckoo import SeenShard
 from ..state.host import HostShards
 from ..stages.fetch import CAND_SCHEMA, CONTENT_SCHEMA, FetchDecode, make_candidates
@@ -103,6 +104,20 @@ class RayCrawl:
         self.ckpt_dir = os.path.join(out_dir, "ckpt")
         self.checkpoint = checkpoint
         os.makedirs(out_dir, exist_ok=True)
+        # append-only versioned logs (Lance when the wheel exists,
+        # parquet+manifest otherwise — sources/storage.py): one version
+        # per checkpointed epoch, committed by the epoch dir's atomic
+        # rename; resume truncates uncommitted (crashed) appends
+        self.content_log = (
+            VersionedTable(os.path.join(out_dir, "content_log"))
+            if checkpoint
+            else None
+        )
+        self.order_log = (
+            VersionedTable(os.path.join(out_dir, "order_log"))
+            if checkpoint
+            else None
+        )
         self.n_host_actors = min(n_host_actors, self.cfg.shard_count)
         self.n_seen = self.cfg.seen_shards
         self.store_ref = ray.put(store)
@@ -282,12 +297,49 @@ class RayCrawl:
         if cfg.max_fetches is not None and self.fetch_seq >= cfg.max_fetches:
             return False
         epoch = self.epoch
-        picks = pa.concat_tables(
-            ray.get([a.dequeue_epoch.remote(epoch) for a in self.host_actors])
+        remaining = (
+            None if cfg.max_fetches is None else cfg.max_fetches - self.fetch_seq
         )
-        picks = picks.sort_by([("t_sched", "ascending"), ("enqueue_seq", "ascending")])
-        if cfg.max_fetches is not None:
-            picks = picks.slice(0, cfg.max_fetches - self.fetch_seq)
+        pick_bound = cfg.per_shard_batch * cfg.shard_count
+        if remaining is not None and remaining < pick_bound:
+            # budget may bind mid-epoch: select first, slice to budget,
+            # THEN resolve outcomes — so host fail-counters never record
+            # picks the budget cut off (oracle's early break; keeps a
+            # checkpointed run resumable past a raised limit)
+            sel = pa.concat_tables(
+                ray.get([a.dequeue_select.remote(epoch) for a in self.host_actors])
+            ).sort_by([("t_sched", "ascending"), ("enqueue_seq", "ascending")])
+            sel = sel.slice(0, remaining)
+            sel = sel.append_column(
+                "order", pa.array(np.arange(len(sel), dtype=np.int64))
+            )
+            owner = self._owner_lut[sel["shard"].to_numpy(zero_copy_only=False)]
+            futs, orders = [], []
+            for a, actor in enumerate(self.host_actors):
+                idx = np.nonzero(owner == a)[0]
+                if len(idx) == 0:
+                    continue
+                part = sel.take(pa.array(idx))
+                futs.append(actor.resolve_outcomes.remote(part.drop_columns(["order"])))
+                orders.append(part["order"].to_numpy(zero_copy_only=False))
+            resolved = ray.get(futs)
+            if resolved:
+                glued = pa.concat_tables(resolved).append_column(
+                    "order", pa.array(np.concatenate(orders))
+                )
+                picks = glued.sort_by("order").drop_columns(["order"])
+            else:
+                from ..state.host import PICKS_SCHEMA
+
+                picks = pa.table(
+                    {k.name: [] for k in PICKS_SCHEMA}, schema=PICKS_SCHEMA
+                )
+        else:
+            picks = pa.concat_tables(
+                ray.get([a.dequeue_epoch.remote(epoch) for a in self.host_actors])
+            ).sort_by(
+                [("t_sched", "ascending"), ("enqueue_seq", "ascending")]
+            )
         n = len(picks)
         fseq = np.arange(self.fetch_seq, self.fetch_seq + n, dtype=np.int64)
         self.fetch_seq += n
@@ -421,11 +473,27 @@ class RayCrawl:
                         "evict_state": [st["evict_state"]],
                         "table": [st["table"]],
                         "exact": [st["exact"]],
+                        "seed": [st["seed"]],
                         "parent_epoch": [epoch - 1],
                     }
                 ),
                 os.path.join(tmp, f"seen-{k}.parquet"),
             )
+        # per-epoch result partitions go to the versioned append-only
+        # logs (S2/S3 KeyValDB analog — KeyValueDB.hpp:154-306); the
+        # epoch dir's atomic rename below is the commit point, so a
+        # crash between append and publish leaves only a dangling
+        # version that resume truncates
+        order_v = self.order_log.append(self._order_parts[-1])
+        content_v = self.content_log.append(self._content_parts[-1])
+        # tiny per-epoch point-lookup index (url_hash → fetch_seq):
+        # get_page reads these 2-column files instead of scanning every
+        # epoch's full content table (S4/S12 — KeyValueDB.hpp:384-396)
+        cpart = self._content_parts[-1]
+        pq.write_table(
+            cpart.select(["url_hash", "fetch_seq"]),
+            os.path.join(tmp, "index.parquet"),
+        )
         with open(os.path.join(tmp, "driver.json"), "w") as f:
             json.dump(
                 {
@@ -433,16 +501,11 @@ class RayCrawl:
                     "enqueue_seq": self.enqueue_seq,
                     "fetch_seq": self.fetch_seq,
                     "parent_epoch": epoch - 1,
+                    "order_version": order_v,
+                    "content_version": content_v,
                 },
                 f,
             )
-        # per-epoch result partitions (resumable output layout)
-        pq.write_table(
-            self._order_parts[-1], os.path.join(tmp, "crawl_order.parquet")
-        )
-        pq.write_table(
-            self._content_parts[-1], os.path.join(tmp, "content.parquet")
-        )
         shutil.rmtree(d, ignore_errors=True)
         os.replace(tmp, d)  # atomic publish = the epoch's commit point
 
@@ -492,11 +555,17 @@ class RayCrawl:
             st = pq.read_table(os.path.join(d, f"seen-{k}.parquet")).to_pylist()[0]
             futs.append(actor.restore.remote(st))
         ray.get(futs)
-        # reload prior epochs' outputs so result() is complete
-        for e in epochs:
-            de = os.path.join(ckpt_dir, f"epoch={e}")
-            eng._order_parts.append(pq.read_table(os.path.join(de, "crawl_order.parquet")))
-            eng._content_parts.append(pq.read_table(os.path.join(de, "content.parquet")))
+        # truncate any log versions past the last committed epoch
+        # (appends whose epoch dir never published — crashed run), then
+        # reload prior outputs from the logs so result() is complete
+        eng.order_log.truncate_to(drv.get("order_version"))
+        eng.content_log.truncate_to(drv.get("content_version"))
+        order_all = eng.order_log.read(drv.get("order_version"))
+        content_all = eng.content_log.read(drv.get("content_version"))
+        if len(order_all):
+            eng._order_parts.append(order_all)
+        if len(content_all):
+            eng._content_parts.append(content_all)
         return eng
 
 
@@ -587,8 +656,15 @@ def run_crawl(
 def get_page(out_dir: str, url: str):
     """S12 `#get` analog (PageSearcher.cpp:119-138): fetch one crawled
     page's record — content metadata + payload bytes — from a crawl
-    output directory (checkpointed run), by raw URL."""
+    output directory (checkpointed run), by raw URL.
+
+    Indexed point lookup (S4 — the reference's O(1) RAM index,
+    KeyValueDB.hpp:384-396): per-epoch 2-column hash indexes locate the
+    epoch + fetch_seq, then exactly ONE content-log fragment and ONE
+    payload part file are read (payload parts are named by their first
+    fetch_seq, so the owning file is found by name alone)."""
     import glob
+    import json as _json
 
     from ..functions import urlkernel as uk
 
@@ -596,21 +672,43 @@ def get_page(out_dir: str, url: str):
     if canon is None:
         return None
     h = uk.url_hash(canon)
-    for f in sorted(glob.glob(os.path.join(out_dir, "ckpt", "epoch=*", "content.parquet"))):
-        t = pq.read_table(f)
-        m = pc.equal(t["url_hash"], pa.scalar(h, pa.uint64()))
-        hit = t.filter(m)
-        if len(hit):
-            row = {k: hit[k][0].as_py() for k in hit.column_names if k != "links"}
-            seq = row["fetch_seq"]
-            for pf in sorted(
-                glob.glob(os.path.join(out_dir, "payload", "epoch=*", "part-*.parquet"))
-            ):
-                p = pq.read_table(pf)
-                pm = pc.equal(p["fetch_seq"], pa.scalar(seq, pa.int64()))
-                ph = p.filter(pm)
-                if len(ph):
-                    row["bytes"] = ph["bytes"][0].as_py()
-                    break
-            return row
+    for idx_file in sorted(
+        glob.glob(os.path.join(out_dir, "ckpt", "epoch=*", "index.parquet"))
+    ):
+        idx = pq.read_table(idx_file)  # (url_hash, fetch_seq) only — tiny
+        m = pc.equal(idx["url_hash"], pa.scalar(h, pa.uint64()))
+        hits = idx.filter(m)
+        if len(hits) == 0:
+            continue
+        seq = int(hits["fetch_seq"][0].as_py())
+        epoch_dir = os.path.dirname(idx_file)
+        with open(os.path.join(epoch_dir, "driver.json")) as f:
+            drv = _json.load(f)
+        # one content fragment read (this epoch's appended version)
+        frag = VersionedTable(
+            os.path.join(out_dir, "content_log")
+        ).version_delta(drv["content_version"])
+        hit = frag.filter(pc.equal(frag["url_hash"], pa.scalar(h, pa.uint64())))
+        if len(hit) == 0:
+            continue
+        row = {k: hit[k][0].as_py() for k in hit.column_names if k != "links"}
+        # one payload part read: parts are part-<first_seq>.parquet with
+        # non-overlapping ascending seq ranges per epoch
+        pdir = os.path.join(out_dir, "payload", f"epoch={row['epoch']}")
+        firsts = sorted(
+            int(os.path.basename(p)[5:-8])
+            for p in glob.glob(os.path.join(pdir, "part-*.parquet"))
+        )
+        owner = None
+        for fs in firsts:
+            if fs <= seq:
+                owner = fs
+            else:
+                break
+        if owner is not None:
+            p = pq.read_table(os.path.join(pdir, f"part-{owner:010d}.parquet"))
+            ph = p.filter(pc.equal(p["fetch_seq"], pa.scalar(seq, pa.int64())))
+            if len(ph):
+                row["bytes"] = ph["bytes"][0].as_py()
+        return row
     return None

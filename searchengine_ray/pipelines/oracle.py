@@ -209,8 +209,11 @@ def _fetch(
 
 
 def simulate(
-    seeds: list[str], store: synth.WebStore, cfg: CrawlConfig | None = None
-) -> CrawlResult:
+    seeds: list[str],
+    store: synth.WebStore,
+    cfg: CrawlConfig | None = None,
+    return_state: bool = False,
+):
     cfg = cfg or CrawlConfig()
     st = _OracleState(cfg)
     res = CrawlResult()
@@ -238,4 +241,4 @@ def simulate(
             for raw in links:
                 st.admit(raw, store, res)
     res.seen = set(st.seen)
-    return res
+    return (res, st) if return_state else res

@@ -117,11 +117,48 @@ class VersionedTable:
         import ray.data
 
         if HAVE_LANCE:
+            if version is not None and version != self.latest():
+                # honor the time-travel contract (mirrors read()):
+                # ray.data.read_lance has no version pin, so a
+                # historical snapshot goes through the versioned
+                # checkout (materialized — snapshots are read for
+                # resume/audit, not the 100 TB streaming path)
+                ds = lance.dataset(self.path, version=version)
+                tbl = ds.to_table(columns=columns)
+                return ray.data.from_arrow(tbl)
             return ray.data.read_lance(self.path, columns=columns)
         paths = self._fragment_paths(version)
         if not paths:
             return ray.data.from_arrow(pa.table({}))
         return ray.data.read_parquet(paths, columns=columns)
+
+    def version_delta(self, version: int) -> pa.Table:
+        """Rows appended BY this version (its own fragment) — the unit
+        a per-epoch point-lookup index refers to."""
+        if HAVE_LANCE:
+            ds = lance.dataset(self.path, version=version)
+            start = 0
+            if version > 1:
+                start = lance.dataset(
+                    self.path, version=version - 1
+                ).count_rows()
+            return ds.take(list(range(start, ds.count_rows())))
+        m = self._manifest(version)
+        return pq.read_table(os.path.join(self.path, m["fragment"]))
+
+    def truncate_to(self, version: int | None) -> None:
+        """Drop versions AFTER ``version`` (crash-recovery: appends that
+        were never committed by the caller's atomic publish step).  With
+        Lance this is ``checkout + restore``; the fallback deletes the
+        dangling manifests (their fragments become unreferenced)."""
+        if HAVE_LANCE:
+            cur = lance.dataset(self.path)
+            if version is not None and cur.version > version:
+                cur.checkout_version(version).restore()
+            return
+        for v in self.versions():
+            if version is None or v > version:
+                os.remove(os.path.join(self._vdir, f"v{v}.json"))
 
     def count(self, version: int | None = None) -> int:
         version = version or self.latest()

@@ -172,11 +172,29 @@ class SeenShard:
     """
 
     def __init__(self, capacity: int = 1 << 16, seed: int = 0):
+        self._seed = seed
         self.filter = CuckooFilter(capacity, seed=seed ^ 0x9E3779B9)
         self.exact: set[int] = set()
 
     def __len__(self) -> int:
         return len(self.exact)
+
+    def _rebuild(self, min_capacity: int) -> None:
+        """Grow the filter (×2+) and re-insert from the exact store, in
+        sorted order so the rebuild is deterministic.  Makes shard
+        capacity a soft startup hint rather than a hard crash at the
+        README's 10^10-frontier claim."""
+        cap = max(min_capacity, self.filter.nbuckets * self.filter.BUCKET * 2)
+        self.filter = CuckooFilter(cap, seed=self._seed ^ 0x9E3779B9)
+        vals = np.fromiter(self.exact, np.uint64, len(self.exact))
+        vals.sort()
+        if len(vals):
+            self.filter.add_batch(vals)
+
+    def _grow_if_needed(self, n_new: int) -> None:
+        f = self.filter
+        if f.count + n_new > f.nbuckets * f.BUCKET * 0.90:
+            self._rebuild(f.count + n_new * 2)
 
     def test_and_add(self, hashes: np.ndarray) -> np.ndarray:
         h = hashes.astype(np.uint64, copy=False)
@@ -198,7 +216,16 @@ class SeenShard:
         new_vals = uniq[is_new]
         if len(new_vals):
             exact.update(new_vals.tolist())
-            self.filter.add_batch(new_vals)
+            f = self.filter
+            if f.count + len(new_vals) > f.nbuckets * f.BUCKET * 0.90:
+                self._rebuild(f.count + len(new_vals) * 2)  # includes new_vals
+            else:
+                try:
+                    f.add_batch(new_vals)
+                except RuntimeError:
+                    # kick-failure below the load limit (rare): the exact
+                    # store is authoritative, rebuild larger from it
+                    self._rebuild(len(exact) * 2)
             new_mask[first_idx[is_new]] = True
         return new_mask
 
@@ -226,11 +253,13 @@ class SeenShard:
         exact.sort()
         st = self.filter.to_state()
         st["exact"] = exact.tobytes()
+        st["seed"] = self._seed
         return st
 
     @classmethod
     def from_state(cls, state: dict) -> "SeenShard":
         obj = cls.__new__(cls)
+        obj._seed = int(state.get("seed", 0))
         obj.filter = CuckooFilter.from_state(state)
         obj.exact = set(np.frombuffer(state["exact"], np.uint64).tolist())
         return obj

@@ -85,7 +85,49 @@ class HostShards:
         resolution, in (t_sched, enqueue_seq) order per shard (host
         health updates are host-local, so per-shard order suffices).
 
-        Heap-based O(B log H) restatement of the oracle's O(B·n) scan
+        When a global fetch budget may bind mid-epoch the driver calls
+        the two-phase split instead — ``dequeue_select`` then
+        ``resolve_outcomes`` on the budget-sliced survivors — so
+        fail-counter updates stop exactly at the budget, matching the
+        oracle's early break (checkpoint state stays resumable past a
+        raised limit)."""
+        return self._resolve(self._select(epoch))
+
+    def dequeue_select(self, epoch: int) -> pa.Table:
+        """Phase 1 of the budget-aware split: selection only (frontier
+        removal + politeness clock advance), no outcome resolution."""
+        picks = self._select(epoch)
+        n = len(picks)
+        return pa.table(
+            {
+                "t_sched": pa.array([p[0] for p in picks], pa.int64()),
+                "enqueue_seq": pa.array([p[1] for p in picks], pa.int64()),
+                "url": pa.array([p[2] for p in picks], pa.string()),
+                "url_hash": pa.array([p[3] for p in picks], pa.uint64()),
+                "host_hash": pa.array([p[4] for p in picks], pa.uint64()),
+                "shard": pa.array([p[5] for p in picks], pa.int32()),
+            }
+        )
+
+    def resolve_outcomes(self, sel: pa.Table) -> pa.Table:
+        """Phase 2: outcome resolution for the budget-surviving subset
+        of this actor's picks (rows arrive in global order restricted
+        to my hosts — per-host order, the only one that matters for the
+        fail-counter walk, is preserved)."""
+        picks = list(
+            zip(
+                sel["t_sched"].to_pylist(),
+                sel["enqueue_seq"].to_pylist(),
+                sel["url"].to_pylist(),
+                (int(x) for x in sel["url_hash"].to_pylist()),
+                (int(x) for x in sel["host_hash"].to_pylist()),
+                sel["shard"].to_pylist(),
+            )
+        )
+        return self._resolve(picks)
+
+    def _select(self, epoch: int) -> list:
+        """Heap-based O(B log H) restatement of the oracle's O(B·n) scan
         (``pipelines/oracle.py dequeue_epoch`` — the naive spec; the
         two are cross-validated by the conformance tests): among
         politeness-eligible hosts pick the entry with the lowest
@@ -144,7 +186,9 @@ class HostShards:
             remaining.sort(key=lambda e: e[0])
             self.frontier[shard] = remaining
         picks.sort(key=lambda p: (p[0], p[1]))
+        return picks
 
+    def _resolve(self, picks: list) -> pa.Table:
         # resolve fetch outcomes (bad-host gate → store lookup →
         # redirect) — store lookups bulk-vectorized; only the
         # order-sensitive fail-counter walk stays a (cheap) loop

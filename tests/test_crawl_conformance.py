@@ -158,3 +158,45 @@ def test_conformance_medium_scale(ray_session, tmp_path):
     )
     assert _order_tuples(res.crawl_order) == golden.crawl_order
     assert res.seen == golden.seen
+
+
+def test_get_page_indexed_lookup(ray_session, fixture_small, tmp_path, monkeypatch):
+    """get_page is an indexed point lookup: besides the tiny per-epoch
+    hash indexes it reads exactly ONE content-log fragment and ONE
+    payload part file per hit (S4 — the reference's O(1) RAM index,
+    KeyValueDB.hpp:384-396)."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines import crawl as crawl_mod
+    from searchengine_ray.pipelines.crawl import RayCrawl, get_page
+    from searchengine_ray.sources import storage as storage_mod
+
+    images, truth, store, seeds, cfg, golden = fixture_small
+    out = str(tmp_path / "gp")
+    eng = RayCrawl(store, images, truth, cfg, out, n_host_actors=2,
+                   n_fetch_actors=2, checkpoint=True)
+    eng.admit_seeds(seeds)
+    res = eng.run(max_epochs=4)
+    # pick a page fetched in a late epoch so early-epoch indexes miss
+    ok = res.content.to_pylist()
+    target = max(ok, key=lambda r: r["fetch_seq"])
+
+    reads = []
+    real_read = pq.read_table
+
+    def counting_read(path, *a, **kw):
+        reads.append(str(path))
+        return real_read(path, *a, **kw)
+
+    monkeypatch.setattr(crawl_mod.pq, "read_table", counting_read)
+    monkeypatch.setattr(storage_mod.pq, "read_table", counting_read)
+    row = get_page(out, "http://" + target["url"])
+    assert row is not None and row["url_hash"] == target["url_hash"]
+    assert row["caption"] == target["caption"]
+    assert "bytes" in row and len(row["bytes"]) > 0
+    frag_reads = [p for p in reads if "content_log" in p]
+    pay_reads = [p for p in reads if "payload" in p]
+    idx_reads = [p for p in reads if "index.parquet" in p]
+    assert len(frag_reads) == 1, frag_reads
+    assert len(pay_reads) == 1, pay_reads
+    assert len(reads) == len(frag_reads) + len(pay_reads) + len(idx_reads)

@@ -83,3 +83,34 @@ def test_all_binding_together(ray_session, small_world, tmp_path):
     )
     golden, res = _run_both(small_world, tmp_path, cfg, "all")
     _assert_match(golden, res)
+
+
+def test_max_fetches_midepoch_state_conformance(ray_session, small_world, tmp_path):
+    """When max_fetches binds mid-epoch, host fail-counters must stop
+    exactly at the budget (oracle's early break) — the sliced-off picks
+    must leave NO trace in checkpointed host state, so a resumed run
+    with a raised limit starts from oracle-equal state."""
+    import ray
+
+    from searchengine_ray.pipelines.crawl import RayCrawl
+    from searchengine_ray.pipelines.oracle import simulate
+
+    images, truth, store, seeds = small_world
+    cfg = CrawlConfig(
+        shard_count=6, per_shard_batch=40, seen_shards=3, max_fetches=130
+    )
+    golden, st = simulate(seeds, store, cfg, return_state=True)
+    eng = RayCrawl(
+        store, images, truth, cfg=cfg, out_dir=str(tmp_path / "mf"),
+        n_host_actors=3, n_fetch_actors=2,
+    )
+    eng.admit_seeds(seeds)
+    res = eng.run()
+    _assert_match(golden, res)
+    # engine host fail-counter state == oracle state at the cutoff
+    fails = {}
+    for _, hs in ray.get([a.snapshot.remote() for a in eng.host_actors]):
+        for hh, fc in zip(hs["host_hash"].to_pylist(), hs["fail_count"].to_pylist()):
+            if fc:
+                fails[hh] = fc
+    assert fails == st.host_fail

@@ -66,3 +66,25 @@ def test_overflow_raises():
     with pytest.raises(RuntimeError):
         # way past capacity → eventually fails to place
         f.add_batch(np.unique(_hashes(5000, 21)))
+
+
+def test_seen_shard_grows_past_capacity():
+    """Capacity is a startup hint: inserting far beyond it triggers
+    deterministic grow-and-rebuild instead of RuntimeError."""
+    import numpy as np
+
+    from searchengine_ray.state.cuckoo import SeenShard
+
+    sh = SeenShard(capacity=1024, seed=3)
+    rng = np.random.default_rng(12)
+    hashes = rng.integers(1, 2**63, size=20_000, dtype=np.int64).astype(np.uint64)
+    mask = sh.test_and_add(hashes)
+    uniq = np.unique(hashes)
+    assert mask.sum() == len(uniq)
+    assert len(sh) == len(uniq)
+    # all inserted values are still members after the rebuilds
+    assert sh.contains(uniq).all()
+    # and a state round-trip preserves membership
+    sh2 = SeenShard.from_state(sh.to_state())
+    assert sh2.contains(uniq).all()
+    assert len(sh2) == len(sh)
