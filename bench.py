@@ -129,6 +129,45 @@ def run_bench() -> dict:
         ray.kill(a)
     del eng
 
+    # ---- storage accounting (vs reference <50 KB/page, README.md:10) --
+    # content metadata + payload bytes actually persisted per fetched
+    # page (payload parquet uses compression="none" because the image
+    # bytes are already codec-compressed — stages/fetch.py)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spp_dir = "/tmp/raycrawl_bench/storage_probe"
+    os.makedirs(spp_dir, exist_ok=True)
+    n_probe = min(2000, len(res.content))
+    content_path = os.path.join(spp_dir, "content.parquet")
+    pq.write_table(res.content.slice(0, n_probe), content_path)
+    img_of = {
+        images["image_id"][i].as_py(): i for i in range(len(images))
+    }
+    probe_ids = res.content["image_id"].to_pylist()[:n_probe]
+    pay_path = os.path.join(spp_dir, "payload.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array(probe_ids),
+                "bytes": pa.array(
+                    [images["bytes"][img_of[i]].as_py() for i in probe_ids],
+                    pa.binary(),
+                ),
+            }
+        ),
+        pay_path,
+        compression="none",
+        use_dictionary=False,
+    )
+    content_bpp = os.path.getsize(content_path) / n_probe
+    payload_bpp = os.path.getsize(pay_path) / n_probe
+    storage_stats = {
+        "content_bytes_per_page": round(content_bpp, 1),
+        "payload_bytes_per_page": round(payload_bpp, 1),
+        "storage_kb_per_page": round((content_bpp + payload_bpp) / 1024, 2),
+    }
+
     # ---- phash dedup over crawled content (Ray Data stage) ------------
     import ray.data as rd
 
@@ -162,6 +201,7 @@ def run_bench() -> dict:
         "urls_per_s": round(n_urls / crawl_sec, 1),
         "images_per_s": round(n_images / crawl_sec, 1),
         "unique_images": n_unique,
+        **storage_stats,
     }
     ray.shutdown()
     return payload

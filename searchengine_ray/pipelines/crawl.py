@@ -7,9 +7,20 @@ Per epoch (SURVEY.md §7.0):
       → candidate prep: explode links → canonicalize → filter   (vector)
       → host actors: robots + quota (per-host order preserved)  (control)
       → seen actors: cuckoo test_and_add (per-hash order)       (control)
-      → driver: shard caps + global budget + enqueue_seq        (control)
+      → sequencer actor: shard caps + budget + enqueue_seq      (control)
       → host actors: frontier append                            (control)
       → parquet: content / crawl order / metrics / checkpoint   (sink)
+
+The admission ladder is a fully actor-chained DAG: fetch candidate
+chunks flow fetch→host(phase1)→seen(phase2)→sequencer(phase3)→
+host(append) as plasma objects, the driver only SUBMITS tasks (it
+blocks per epoch on exactly two things: the dequeue picks and the
+content metadata).  Actor-mailbox FIFO gives the ordering the oracle
+semantics need: phase1(wave w+1) queues behind append(wave w) on each
+host actor, the next epoch's dequeue queues behind the last append,
+and seen-shard rollbacks are pulled by the next wave's phase-2 (or an
+idempotent epoch-end flush).  Epoch metrics are object refs resolved
+lazily at result().
 
 Determinism: all control-plane state (politeness clocks, fail
 counters, quotas, seen membership) is partitioned so that every state
@@ -83,6 +94,124 @@ class EngineResult:
     epochs: int = 0
 
 
+def _order_keys(fseq: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Pack the global candidate order (fetch_seq, pos) into one sortable
+    int64 key (fetch_seq may be -1 for seeds; pos < 2^31)."""
+    return (fseq.astype(np.int64) + 1) * (1 << 32) + pos.astype(np.int64)
+
+
+_EMPTY_RB = pa.table({"url_hash": pa.array([], pa.uint64())})
+
+
+def _empty_admitted() -> pa.Table:
+    cols = {k.name: pa.array([], k.type) for k in CAND_SCHEMA}
+    cols["enqueue_seq"] = pa.array([], pa.int64())
+    return pa.table(cols)
+
+
+class _Sequencer:
+    """Phase-3 actor: per-shard caps + global budget + enqueue_seq
+    assignment (the reference's pushPending steps 1/6/8,
+    SearchEngine.h:800-836).  A single actor processing waves in
+    submission order keeps the admission sequence deterministic without
+    a driver hop — the driver never blocks inside the ladder."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.enqueue_seq = 0
+
+    def get_seq(self) -> int:
+        return self.enqueue_seq
+
+    def set_seq(self, v: int) -> None:
+        self.enqueue_seq = int(v)
+
+    def process(self, n_chunks: int, n_hosts: int, *refs):
+        """(cand chunks ×n_chunks, phase1 outputs ×n_hosts, phase2
+        outputs ×rest) → (admitted table, rollback table, stats)."""
+        cfg = self.cfg
+        chunks = refs[:n_chunks]
+        p1s = refs[n_chunks : n_chunks + n_hosts]
+        p2s = refs[n_chunks + n_hosts :]
+        stats = {
+            "candidates": 0,
+            "admitted": 0,
+            "rejected_robots_quota": 0,
+            "rejected_dup": 0,
+        }
+        cand_parts = [c for c in chunks if len(c)]
+        if not cand_parts:
+            return _empty_admitted(), _EMPTY_RB, stats
+        cand = pa.concat_tables(cand_parts)  # ascending (fetch_seq, pos)
+        stats["candidates"] = len(cand)
+        keys = _order_keys(
+            cand["fetch_seq"].to_numpy(zero_copy_only=False),
+            cand["pos"].to_numpy(zero_copy_only=False),
+        )
+        ok1 = np.zeros(len(cand), bool)
+        sizes: dict[int, int] = {}
+        for chain, sz in p1s:
+            sizes.update(sz)
+            if len(chain):
+                ck = _order_keys(
+                    chain["fetch_seq"].to_numpy(zero_copy_only=False),
+                    chain["pos"].to_numpy(zero_copy_only=False),
+                )
+                ok1[np.searchsorted(keys, ck)] = chain["ok"].to_numpy(
+                    zero_copy_only=False
+                )
+        new_full = np.zeros(len(cand), bool)
+        total_seen = 0
+        for k2, mask, cnt in p2s:
+            total_seen += cnt
+            if len(k2):
+                new_full[np.searchsorted(keys, k2)] = mask
+        stats["rejected_robots_quota"] = int((~ok1).sum())
+        stats["rejected_dup"] = int(ok1.sum()) - int(new_full.sum())
+        surv2 = np.nonzero(new_full)[0]
+        if len(surv2) == 0:
+            return _empty_admitted(), _EMPTY_RB, stats
+        sub2 = cand.take(pa.array(surv2))
+        shard2 = sub2["shard"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(sub2), bool)
+        room = {
+            s: max(0, cfg.max_frontier_per_shard - sizes.get(s, 0))
+            for s in set(shard2.tolist())
+        }
+        if any(r < len(sub2) for r in room.values()):  # cap can bind → in-order scan
+            for i in range(len(sub2)):
+                s = int(shard2[i])
+                if room[s] <= 0:
+                    keep[i] = False
+                else:
+                    room[s] -= 1
+        if cfg.max_crawl_urls < (1 << 40):  # budget can bind
+            # phase-2 counts include every insert of this wave; discount
+            # the cap-rejected ones (rolled back) before the budget check
+            over = (total_seen - int((~keep).sum())) - cfg.max_crawl_urls
+            if over > 0:
+                kept_idx = np.nonzero(keep)[0]
+                for i in kept_idx[::-1][:over]:
+                    keep[i] = False
+        rollback = np.nonzero(~keep)[0]
+        rb_tbl = (
+            pa.table({"url_hash": sub2.take(pa.array(rollback))["url_hash"]})
+            if len(rollback)
+            else _EMPTY_RB
+        )
+        surv3 = np.nonzero(keep)[0]
+        if len(surv3) == 0:
+            return _empty_admitted(), rb_tbl, stats
+        final = sub2.take(pa.array(surv3))
+        seqs = np.arange(
+            self.enqueue_seq, self.enqueue_seq + len(final), dtype=np.int64
+        )
+        self.enqueue_seq += len(final)
+        final = final.append_column("enqueue_seq", pa.array(seqs))
+        stats["admitted"] = len(final)
+        return final, rb_tbl, stats
+
+
 class RayCrawl:
     def __init__(
         self,
@@ -126,6 +255,7 @@ class RayCrawl:
 
         HostActor = ray.remote(num_cpus=0)(HostShards)
         SeenActor = ray.remote(num_cpus=0)(_SeenActor)
+        SeqActor = ray.remote(num_cpus=0)(_Sequencer)
         FetchActor = ray.remote(num_cpus=1)(FetchDecode)
         shard_of_actor = {
             a: [
@@ -147,8 +277,9 @@ class RayCrawl:
             np.int64,
         )
         self.seen_actors = [
-            SeenActor.remote(1 << 18, k) for k in range(self.n_seen)
+            SeenActor.remote(1 << 18, k, self.n_seen) for k in range(self.n_seen)
         ]
+        self.seq_actor = SeqActor.remote(self.cfg)
         self.payload_dir = (
             os.path.join(out_dir, "payload") if write_payload else None
         )
@@ -164,12 +295,15 @@ class RayCrawl:
             )
             for _ in range(n_fetch_actors)
         ]
-        self.enqueue_seq = 0
         self.fetch_seq = 0
         self.epoch = 0
         self._order_parts: list[pa.Table] = []
         self._content_parts: list[pa.Table] = []
-        self._metrics_rows: list[dict] = []
+        self._metric_refs: list[dict] = []
+        self._pending_rb: tuple = (None, None)  # (tag, rollback table ref)
+        self._wave_tag = 0
+        self._append_refs: list = []
+        self._prefetched_dequeue: tuple | None = None
 
     # ------------------------------------------------------------ seeding
     def admit_seeds(self, seeds: list[str]) -> None:
@@ -179,121 +313,56 @@ class RayCrawl:
             list(range(len(seeds))),
             self.cfg.shard_count,
         )
-        self._admit(cand)
+        self._submit_wave([cand])
 
     # ---------------------------------------------------------- admission
-    def _admit(self, cand: pa.Table) -> dict:
-        """Run the admission ladder on candidates already in global
-        order; returns counters."""
-        ray = self.ray
-        stats = {"candidates": len(cand), "admitted": 0,
-                 "rejected_robots_quota": 0, "rejected_dup": 0}
-        if len(cand) == 0:
-            return stats
-        # phase 1 (robots + quota, host actors) chained straight into
-        # phase 2 (seen filters): each seen actor consumes the host
-        # actors' output OBJECTS directly (plasma-shared, no driver
-        # round-trip between the phases) — the driver blocks ONCE on
-        # both phases.  Global candidate order rides along as an
-        # explicit `order` column so the chained actors can restore it.
-        cand = cand.append_column(
-            "order", pa.array(np.arange(len(cand), dtype=np.int64))
-        )
-        shard_np = cand["shard"].to_numpy(zero_copy_only=False)
-        owner = self._owner_lut[shard_np]
-        futs1, idxs = [], []
-        for a, actor in enumerate(self.host_actors):
-            sel = np.nonzero(owner == a)[0]
-            if len(sel) == 0:
-                continue
-            futs1.append(actor.admit_phase1.remote(cand.take(pa.array(sel))))
-            idxs.append(sel)
-        futs2 = [
-            actor.test_and_add_chained.remote(k, self.n_seen, *futs1)
-            for k, actor in enumerate(self.seen_actors)
+    def _submit_wave(self, cand_refs: list):
+        """Submit one wave's admission ladder — fetch candidate chunks
+        (object refs or tables, in ascending fetch_seq order) chained
+        through phase1 (host actors) → phase2 (seen actors, pulling the
+        previous wave's rollback) → sequencer → frontier appends.  Pure
+        submission: the driver never blocks here.  Returns the wave's
+        stats object ref."""
+        self._wave_tag += 1
+        tag = self._wave_tag
+        p1 = [
+            a.admit_phase1_chunks.remote(*cand_refs) for a in self.host_actors
         ]
-        got1 = ray.get(futs1)
-        got2 = ray.get(futs2)
-        ok1 = np.zeros(len(cand), bool)
-        sizes: dict[int, int] = {}
-        for sel, (ok, _chain, sz) in zip(idxs, got1):
-            ok1[sel] = ok
-            sizes.update(sz)
-        stats["rejected_robots_quota"] = int((~ok1).sum())
-        new_full = np.zeros(len(cand), bool)
-        for order_idx, mask in got2:
-            new_full[order_idx] = mask
-        stats["rejected_dup"] = int(ok1.sum()) - int(new_full.sum())
-        surv2 = np.nonzero(new_full)[0]
-        if len(surv2) == 0:
-            return stats
-        sub2 = cand.take(pa.array(surv2))
-        # phase 3 (driver): per-shard caps + global budget, in order
-        # (sizes piggybacked on phase 1 — pre-append state, as required)
-        shard2 = sub2["shard"].to_numpy(zero_copy_only=False)
-        keep = np.ones(len(sub2), bool)
-        room = {
-            s: max(0, self.cfg.max_frontier_per_shard - sizes.get(s, 0))
-            for s in set(shard2.tolist())
-        }
-        if any(r < len(sub2) for r in room.values()):  # cap can bind → in-order scan
-            for i in range(len(sub2)):
-                s = int(shard2[i])
-                if room[s] <= 0:
-                    keep[i] = False
-                else:
-                    room[s] -= 1
-        if self.cfg.max_crawl_urls < (1 << 40):  # budget can bind → query
-            total_seen = sum(
-                ray.get([a.count.remote() for a in self.seen_actors])
-            )
-            # seen currently includes every phase-2 insert; discount the
-            # cap-rejected ones (rolled back below) before the budget check
-            total_seen -= int((~keep).sum())
-            over = total_seen - self.cfg.max_crawl_urls
-            if over > 0:
-                kept_idx = np.nonzero(keep)[0]
-                for i in kept_idx[::-1][:over]:
-                    keep[i] = False
-        rollback = np.nonzero(~keep)[0]
-        if len(rollback):
-            rb = sub2.take(pa.array(rollback))
-            uh_rb = rb["url_hash"].to_numpy(zero_copy_only=False)
-            so = (uh_rb % np.uint64(self.n_seen)).astype(np.int64)
-            ray.get(
-                [
-                    self.seen_actors[k].remove.remote(uh_rb[so == k])
-                    for k in set(so.tolist())
-                ]
-            )
-        surv3 = np.nonzero(keep)[0]
-        if len(surv3) == 0:
-            return stats
-        final = sub2.take(pa.array(surv3))
-        seqs = np.arange(self.enqueue_seq, self.enqueue_seq + len(final), dtype=np.int64)
-        self.enqueue_seq += len(final)
-        final = final.append_column("enqueue_seq", pa.array(seqs))
-        stats["admitted"] = len(final)
-        fshard = final["shard"].to_numpy(zero_copy_only=False)
-        fowner = self._owner_lut[fshard]
-        ray.get(
-            [
-                self.host_actors[a].append_frontier.remote(
-                    final.take(pa.array(np.nonzero(fowner == a)[0]))
-                )
-                for a in set(fowner.tolist())
-            ]
+        rb_tag, rb_ref = self._pending_rb
+        p2 = [
+            a.test_and_add_wave.remote(k, self.n_seen, rb_tag, rb_ref, *p1)
+            for k, a in enumerate(self.seen_actors)
+        ]
+        adm_ref, rb_new, stats_ref = self.seq_actor.process.options(
+            num_returns=3
+        ).remote(len(cand_refs), len(p1), *cand_refs, *p1, *p2)
+        self._append_refs.extend(
+            a.append_frontier.remote(adm_ref) for a in self.host_actors
         )
-        return stats
+        self._pending_rb = (tag, rb_new)
+        return stats_ref
+
+    def _flush_rollback(self) -> None:
+        """Idempotently apply the last wave's pending seen-set rollback
+        (pulled by the next wave's phase-2 otherwise)."""
+        tag, rb = self._pending_rb
+        if rb is not None:
+            for a in self.seen_actors:
+                a.apply_rollback.remote(tag, rb)
+            self._pending_rb = (None, None)
 
     # -------------------------------------------------------------- epoch
-    def run_epoch(self) -> bool:
-        """One epoch; returns False when the crawl is finished."""
+    def run_epoch(self, prefetch_next: bool = False) -> bool:
+        """One epoch; returns False when the crawl is finished.
+
+        Driver blocks on exactly one thing per epoch: the dequeue picks
+        (prefetched behind the previous epoch's appends when
+        ``prefetch_next`` allows, so the get is usually instant); the
+        admission ladder is an actor-chained DAG (module docstring) and
+        content metadata refs are resolved lazily at result()/
+        checkpoint."""
         ray = self.ray
         cfg = self.cfg
-        fsizes = ray.get([a.frontier_size.remote() for a in self.host_actors])
-        if sum(fsizes) == 0:
-            return False
         if cfg.max_fetches is not None and self.fetch_seq >= cfg.max_fetches:
             return False
         epoch = self.epoch
@@ -301,6 +370,11 @@ class RayCrawl:
             None if cfg.max_fetches is None else cfg.max_fetches - self.fetch_seq
         )
         pick_bound = cfg.per_shard_batch * cfg.shard_count
+        if self._prefetched_dequeue is not None:
+            pf_epoch, pf_futs = self._prefetched_dequeue
+            self._prefetched_dequeue = None
+        else:
+            pf_epoch, pf_futs = None, None
         if remaining is not None and remaining < pick_bound:
             # budget may bind mid-epoch: select first, slice to budget,
             # THEN resolve outcomes — so host fail-counters never record
@@ -335,12 +409,16 @@ class RayCrawl:
                     {k.name: [] for k in PICKS_SCHEMA}, schema=PICKS_SCHEMA
                 )
         else:
-            picks = pa.concat_tables(
-                ray.get([a.dequeue_epoch.remote(epoch) for a in self.host_actors])
-            ).sort_by(
+            if pf_futs is not None and pf_epoch == epoch:
+                futs = pf_futs
+            else:
+                futs = [a.dequeue_epoch.remote(epoch) for a in self.host_actors]
+            picks = pa.concat_tables(ray.get(futs)).sort_by(
                 [("t_sched", "ascending"), ("enqueue_seq", "ascending")]
             )
         n = len(picks)
+        if n == 0:
+            return False  # empty frontier (dequeue is the emptiness probe)
         fseq = np.arange(self.fetch_seq, self.fetch_seq + n, dtype=np.int64)
         self.fetch_seq += n
         picks = picks.append_column("fetch_seq", pa.array(fseq)).append_column(
@@ -350,73 +428,82 @@ class RayCrawl:
             picks.select(["fetch_seq", "url", "url_hash", "t_sched", "epoch"])
         )
         ok_picks = picks.filter(pc.greater_equal(picks["content_row"], 0))
-        content = pa.table(
-            {k.name: [] for k in CONTENT_SCHEMA}, schema=CONTENT_SCHEMA
-        )
-        cand = pa.table({k.name: [] for k in CAND_SCHEMA}, schema=CAND_SCHEMA)
-        stats = {"candidates": 0, "admitted": 0,
-                 "rejected_robots_quota": 0, "rejected_dup": 0}
+        stat_refs: list = []
+        content_refs: list = []
         if len(ok_picks):
             # Round-robin chunk waves over the persistent fetch pool;
-            # each actor returns (content metadata, prepped candidates)
-            # and writes its payload parquet partition itself.  ~4
-            # waves per actor bound the straggler cost of the barrier.
-            # Admission OVERLAPS fetch: chunks are consumed strictly in
-            # submission order (= fetch_seq order), so running the
-            # admission ladder on each chunk as it completes preserves
-            # the deterministic global candidate order while the pool
-            # keeps fetching later chunks.
+            # each actor returns (content metadata, candidate chunk) as
+            # TWO object refs — content comes back to the driver, the
+            # candidate chunk chains straight into the admission DAG.
+            # Everything below is submission-only; the fetch pool,
+            # the admission actors, and the driver all run concurrently.
             nf = len(self.fetch_actors)
-            waves = 2
+            waves = int(os.environ.get("CRAWL_WAVES", "2"))
             chunk = max(64, (len(ok_picks) + nf * waves - 1) // (nf * waves))
-            futs = [
-                self.fetch_actors[(i // chunk) % nf].__call__.remote(
-                    ok_picks.slice(i, chunk)
-                )
+            rets = [
+                self.fetch_actors[(i // chunk) % nf]
+                .__call__.options(num_returns=2)
+                .remote(ok_picks.slice(i, chunk))
                 for i in range(0, len(ok_picks), chunk)
             ]
-            cparts = []
-            # consume per WAVE (nf chunks): one admission ladder per
-            # wave keeps the driver↔actor RPC rounds independent of
-            # pool size while still overlapping with later waves' fetch
-            for w0 in range(0, len(futs), nf):
-                got = ray.get(futs[w0 : w0 + nf])  # in-order
-                kparts = []
-                for c, k in got:
-                    if len(c):
-                        cparts.append(c)
-                    if len(k):
-                        kparts.append(k)
-                if kparts:
-                    s = self._admit(pa.concat_tables(kparts))
-                    for key in stats:
-                        stats[key] += s[key]
-            if cparts:
-                content = pa.concat_tables(cparts).sort_by("fetch_seq")
-        self._content_parts.append(content)
-        seen_size = sum(ray.get([a.count.remote() for a in self.seen_actors]))
-        frontier_size = sum(ray.get([a.frontier_size.remote() for a in self.host_actors]))
-        self._metrics_rows.append(
+            for w0 in range(0, len(rets), nf):
+                wave = rets[w0 : w0 + nf]
+                content_refs.extend(c for c, _k in wave)
+                stat_refs.append(self._submit_wave([k for _c, k in wave]))
+        self._flush_rollback()
+        # prefetch the NEXT epoch's dequeue: the tasks queue behind this
+        # epoch's appends (actor FIFO), so the dequeue computes while the
+        # driver is otherwise between epochs — next run_epoch's get is
+        # near-instant.  Only on the plain path (no binding budget, no
+        # checkpoint snapshots which must observe pre-dequeue state).
+        if prefetch_next and cfg.max_fetches is None and not self.checkpoint:
+            self._prefetched_dequeue = (
+                epoch + 1,
+                [a.dequeue_epoch.remote(epoch + 1) for a in self.host_actors],
+            )
+        # metrics are refs resolved lazily at result(): the count /
+        # frontier-size tasks queue behind this epoch's appends (actor
+        # FIFO), so the values are post-epoch-exact even though the
+        # driver never waits for them here
+        self._metric_refs.append(
             {
                 "epoch": epoch,
                 "picked": n,
-                "fetched_ok": len(content),
-                "fetch_failed": n - len(content),
-                "candidates": stats["candidates"],
-                "admitted": stats["admitted"],
-                "rejected_static": 0,
-                "rejected_robots_quota": stats["rejected_robots_quota"],
-                "rejected_dup": stats["rejected_dup"],
-                "frontier_size": frontier_size,
-                "seen_size": seen_size,
+                "fetched_ok": None,  # resolved with the content refs
+                "stats": stat_refs,
+                "seen": [a.count.remote() for a in self.seen_actors],
+                "frontier": [a.frontier_size.remote() for a in self.host_actors],
             }
         )
+        # content metadata stays as refs — resolved off the epoch
+        # critical path (result(), or write_checkpoint below)
+        self._content_parts.append((epoch, content_refs))
         self.epoch += 1
         if self.checkpoint:
             self.write_checkpoint()
         if cfg.max_fetches is not None and self.fetch_seq >= cfg.max_fetches:
             return False
         return True
+
+    def _resolve_content(self) -> None:
+        """Materialize any pending per-epoch content refs (in place)."""
+        ray = self.ray
+        for i, part in enumerate(self._content_parts):
+            if not isinstance(part, tuple):
+                continue
+            ep, refs = part
+            cparts = [c for c in ray.get(refs) if len(c)] if refs else []
+            content = (
+                pa.concat_tables(cparts).sort_by("fetch_seq")
+                if cparts
+                else pa.table(
+                    {k.name: [] for k in CONTENT_SCHEMA}, schema=CONTENT_SCHEMA
+                )
+            )
+            self._content_parts[i] = content
+            for m in self._metric_refs:
+                if m["epoch"] == ep:
+                    m["fetched_ok"] = len(content)
 
     def warmup(self) -> None:
         """Block until every fetch actor finished deserializing its
@@ -428,12 +515,48 @@ class RayCrawl:
         self.warmup()
         limit = max_epochs if max_epochs is not None else self.cfg.max_epochs
         while self.epoch < limit:
-            if not self.run_epoch():
+            if not self.run_epoch(prefetch_next=self.epoch + 1 < limit):
                 break
         return self.result()
 
+    def _metrics_rows(self) -> list[dict]:
+        """Resolve the lazily-collected per-epoch metric refs (counts
+        queued post-append on each actor, so values are epoch-exact)."""
+        ray = self.ray
+        rows = []
+        for m in self._metric_refs:
+            stats = {
+                "candidates": 0,
+                "admitted": 0,
+                "rejected_robots_quota": 0,
+                "rejected_dup": 0,
+            }
+            for s in ray.get(list(m["stats"])):
+                for k in stats:
+                    stats[k] += s[k]
+            rows.append(
+                {
+                    "epoch": m["epoch"],
+                    "picked": m["picked"],
+                    "fetched_ok": m["fetched_ok"],
+                    "fetch_failed": m["picked"] - m["fetched_ok"],
+                    "candidates": stats["candidates"],
+                    "admitted": stats["admitted"],
+                    "rejected_static": 0,
+                    "rejected_robots_quota": stats["rejected_robots_quota"],
+                    "rejected_dup": stats["rejected_dup"],
+                    "frontier_size": sum(ray.get(list(m["frontier"]))),
+                    "seen_size": sum(ray.get(list(m["seen"]))),
+                }
+            )
+        return rows
+
     def result(self) -> EngineResult:
         ray = self.ray
+        if self._append_refs:  # surface any admission-chain errors
+            ray.get(self._append_refs)
+            self._append_refs = []
+        self._resolve_content()
         res = EngineResult()
         res.epochs = self.epoch
         res.crawl_order = (
@@ -443,10 +566,9 @@ class RayCrawl:
         )
         parts = [t for t in self._content_parts if len(t)]
         res.content = pa.concat_tables(parts) if parts else None
+        rows = self._metrics_rows()
         res.metrics = (
-            pa.Table.from_pylist(self._metrics_rows, schema=METRICS_SCHEMA)
-            if self._metrics_rows
-            else None
+            pa.Table.from_pylist(rows, schema=METRICS_SCHEMA) if rows else None
         )
         for hs in ray.get([a.dump_hashes.remote() for a in self.seen_actors]):
             res.seen.update(int(x) for x in hs)
@@ -455,6 +577,7 @@ class RayCrawl:
     # --------------------------------------------------------- checkpoint
     def write_checkpoint(self) -> None:
         ray = self.ray
+        self._resolve_content()
         epoch = self.epoch  # state AFTER epoch-1 completed
         d = os.path.join(self.ckpt_dir, f"epoch={epoch}")
         tmp = d + ".tmp"
@@ -498,7 +621,7 @@ class RayCrawl:
             json.dump(
                 {
                     "epoch": self.epoch,
-                    "enqueue_seq": self.enqueue_seq,
+                    "enqueue_seq": ray.get(self.seq_actor.get_seq.remote()),
                     "fetch_seq": self.fetch_seq,
                     "parent_epoch": epoch - 1,
                     "order_version": order_v,
@@ -544,9 +667,8 @@ class RayCrawl:
         with open(os.path.join(d, "driver.json")) as f:
             drv = json.load(f)
         eng.epoch = drv["epoch"]
-        eng.enqueue_seq = drv["enqueue_seq"]
         eng.fetch_seq = drv["fetch_seq"]
-        futs = []
+        futs = [eng.seq_actor.set_seq.remote(drv["enqueue_seq"])]
         for a, actor in enumerate(eng.host_actors):
             fr = pq.read_table(os.path.join(d, f"frontier-{a}.parquet"))
             hs = pq.read_table(os.path.join(d, f"hoststate-{a}.parquet"))
@@ -572,40 +694,60 @@ class RayCrawl:
 class _SeenActor:
     """Seen-filter shard actor: cuckoo + exact store (state/cuckoo.py)."""
 
-    def __init__(self, capacity: int, shard_id: int):
+    def __init__(self, capacity: int, shard_id: int, n_seen: int = 1):
         self.shard = SeenShard(capacity=capacity, seed=shard_id)
+        self.k = shard_id
+        self.n_seen = n_seen
+        self._applied_rb: set[int] = set()
 
     def test_and_add(self, hashes: np.ndarray) -> np.ndarray:
         return self.shard.test_and_add(hashes)
 
-    def test_and_add_chained(
-        self, k: int, n_seen: int, *phase1_outputs
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Chained phase 2: consume the host actors' phase-1 outputs
-        directly (Ray resolves the object refs in-actor — no driver
-        hop).  Keeps this shard's survivors in global candidate order
-        via the `order` column.  → (order indices, new-mask)."""
+    def test_and_add_wave(
+        self, k: int, n_seen: int, rb_tag, rb_tbl, *phase1_outputs
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        """Chained phase 2: first pull-apply the previous wave's pending
+        rollback (sequencer cap/budget rejections — idempotent by tag),
+        then consume the host actors' phase-1 chain OBJECTS directly (no
+        driver hop), restoring global candidate order from the
+        (fetch_seq, pos) keys.  → (order keys, new-mask, post-insert
+        count — piggybacked for the sequencer's budget check)."""
+        if rb_tbl is not None:
+            self.apply_rollback(rb_tag, rb_tbl)
         parts = []
-        for _ok, tbl, _sizes in phase1_outputs:
-            ok = tbl["ok"].to_numpy(zero_copy_only=False)
-            uh = tbl["url_hash"].to_numpy(zero_copy_only=False)
+        for chain, _sizes in phase1_outputs:
+            if len(chain) == 0:
+                continue
+            ok = chain["ok"].to_numpy(zero_copy_only=False)
+            uh = chain["url_hash"].to_numpy(zero_copy_only=False)
             mine = ok & ((uh % np.uint64(n_seen)).astype(np.int64) == k)
             idx = np.nonzero(mine)[0]
             if len(idx):
-                parts.append(
-                    (
-                        tbl["order"].to_numpy(zero_copy_only=False)[idx],
-                        uh[idx],
-                    )
+                keys = _order_keys(
+                    chain["fetch_seq"].to_numpy(zero_copy_only=False)[idx],
+                    chain["pos"].to_numpy(zero_copy_only=False)[idx],
                 )
+                parts.append((keys, uh[idx]))
         if not parts:
-            return np.zeros(0, np.int64), np.zeros(0, bool)
-        order = np.concatenate([p[0] for p in parts])
+            return np.zeros(0, np.int64), np.zeros(0, bool), len(self.shard)
+        keys = np.concatenate([p[0] for p in parts])
         uh = np.concatenate([p[1] for p in parts])
-        o = np.argsort(order, kind="stable")
-        order, uh = order[o], uh[o]
+        o = np.argsort(keys, kind="stable")
+        keys, uh = keys[o], uh[o]
         mask = self.shard.test_and_add(uh)
-        return order, mask
+        return keys, mask, len(self.shard)
+
+    def apply_rollback(self, tag, rb_tbl: pa.Table) -> None:
+        """Un-see this shard's slice of a sequencer rollback (cap/budget
+        rejections).  Idempotent by wave tag — safe to arrive both via
+        the next wave's phase-2 pull AND the epoch-end flush."""
+        if tag in self._applied_rb:
+            return
+        self._applied_rb.add(tag)
+        uh = rb_tbl["url_hash"].to_numpy(zero_copy_only=False)
+        mine = uh[(uh % np.uint64(self.n_seen)).astype(np.int64) == self.k]
+        if len(mine):
+            self.shard.remove(mine)
 
     def remove(self, hashes: np.ndarray) -> None:
         self.shard.remove(hashes)

@@ -218,24 +218,26 @@ class SearchIndex:
         hi = np.searchsorted(self.words, term, side="right")
         return int(lo), int(hi)
 
+    def _term_postings(self, term: str) -> pd.DataFrame:
+        lo, hi = self._range(term)
+        if hi - lo > self.max_search:
+            lo = hi - self.max_search  # top-rank suffix (O4, :425)
+        return pd.DataFrame(
+            {
+                "page_index": self.page[lo:hi],
+                "rank": self.rank[lo:hi],
+                "position": self.pos[lo:hi],
+            }
+        )
+
     def search(self, query: str, max_show: int = 200) -> pd.DataFrame:
         terms = split_sentence(query)
         if not terms:
             return pd.DataFrame(columns=["page_index", "final_rank"])
-        postings = []
-        for t in terms:
-            lo, hi = self._range(t)
-            if hi - lo > self.max_search:
-                lo = hi - self.max_search  # top-rank suffix (O4, :425)
-            postings.append(
-                pd.DataFrame(
-                    {
-                        "page_index": self.page[lo:hi],
-                        "rank": self.rank[lo:hi],
-                        "position": self.pos[lo:hi],
-                    }
-                )
-            )
+        postings = [self._term_postings(t) for t in terms]
+        return self._score(postings, max_show)
+
+    def _score(self, postings: list[pd.DataFrame], max_show: int) -> pd.DataFrame:
         # AND-join on page_index, keep top-2 (rank, pos) per page per term
         per_term = []
         for p in postings:
@@ -274,4 +276,87 @@ class SearchIndex:
             out = pd.DataFrame(
                 merged, columns=["page_index", "final_rank", "host", "suppressed"]
             ).sort_values(["final_rank", "page_index"], ascending=[False, True]).reset_index(drop=True)
+        return out
+
+
+def _block_bounds(tbl: pa.Table):
+    if len(tbl) == 0:
+        return None
+    w = tbl["word"]
+    return str(w[0].as_py()), str(w[-1].as_py())
+
+
+class PartitionedSearchIndex(SearchIndex):
+    """Distributed search over the sorted dictionary Dataset — the
+    100-TB path for the reference's disk-resident binary-searched dict
+    (``PageSearcher.cpp:40-67``: the file IS the index; only O(log N)
+    pages are touched per keyword).
+
+    The sorted Dataset's blocks stay in the object store; the driver
+    holds only each block's (first_word, last_word) bounds — a sparse
+    index, like the reference's file-page binary search.  A query term
+    prunes to the blocks whose word range can contain it, fetches ONLY
+    those (zero-copy plasma reads), and binary-searches inside.  RAM
+    never bounds the dictionary size: the driver's footprint is
+    2 strings per block plus the touched postings ranges.
+    """
+
+    def __init__(self, dict_ds, doc_host: dict[int, str] | None = None,
+                 max_search: int = 100_000):
+        import ray
+
+        refs = dict_ds.to_arrow_refs()
+        bounds_fn = ray.remote(num_cpus=0)(_block_bounds)
+        bounds = ray.get([bounds_fn.remote(r) for r in refs])
+        self._refs = [r for r, b in zip(refs, bounds) if b is not None]
+        self._lo = [b[0] for b in bounds if b is not None]
+        self._hi = [b[1] for b in bounds if b is not None]
+        self.doc_host = doc_host or {}
+        self.max_search = max_search
+        self.blocks_fetched = 0  # instrumentation (asserted in tests)
+        self._ray = ray
+
+    def _term_postings(self, term: str) -> pd.DataFrame:
+        phrase = " " in term
+        key = term[:MAIN_WORD_SIZE] if phrase else term
+        # upper bound of the matching word range: prefix matches for
+        # phrases, exact word otherwise
+        upper = key + "￿" if phrase else key
+        parts = []
+        for i, ref in enumerate(self._refs):
+            if self._hi[i] < key or self._lo[i] > upper:
+                continue  # pruned — block cannot contain the term
+            tbl = self._ray.get(ref)  # zero-copy plasma read
+            self.blocks_fetched += 1
+            words = np.asarray(tbl["word"].to_pylist(), dtype=object)
+            lo = int(np.searchsorted(words, key, side="left"))
+            if phrase:
+                hi = lo
+                while hi < len(words) and str(words[hi]).startswith(key):
+                    hi += 1
+            else:
+                hi = int(np.searchsorted(words, key, side="right"))
+            if hi > lo:
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "page_index": tbl["page_index"].to_numpy(
+                                zero_copy_only=False
+                            )[lo:hi],
+                            "rank": tbl["rank"].to_numpy(zero_copy_only=False)[
+                                lo:hi
+                            ],
+                            "position": tbl["position"].to_numpy(
+                                zero_copy_only=False
+                            )[lo:hi],
+                        }
+                    )
+                )
+        if not parts:
+            return pd.DataFrame(
+                {"page_index": [], "rank": [], "position": []}
+            )
+        out = pd.concat(parts, ignore_index=True)
+        if len(out) > self.max_search:
+            out = out.tail(self.max_search)  # top-rank suffix (O4)
         return out

@@ -813,12 +813,28 @@ def q27_best_order_per_customer(sf_dir: str):
             ["o_custkey", "o_orderkey", "total_cents"]
         ]
 
-    # per-batch argmax partials → one driver-side final argmax over
-    # ≤(customers × batches) small rows — no per-group map_groups calls
-    parts = ds.map_batches(partial_best, batch_format="pandas").to_pandas()
-    final = parts.sort_values(
-        ["total_cents", "o_orderkey"], ascending=[False, True]
-    ).drop_duplicates("o_custkey")
+    # per-batch argmax partials → hash-partition by custkey →
+    # per-partition vectorized final argmax (no per-group Python, no
+    # customers-proportional driver reduction — only the result rows
+    # come back)
+    npart = _ncpus()
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = (b["o_custkey"].to_numpy(np.int64) % npart).astype(np.int64)
+        return b
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["total_cents", "o_orderkey"], ascending=[False, True])
+        return g.drop_duplicates("o_custkey").drop(columns=["part"])
+
+    final = (
+        ds.map_batches(partial_best, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(finalize, batch_format="pandas")
+        .to_pandas()
+    )
     return final.sort_values("o_custkey").reset_index(drop=True)
 
 
@@ -858,15 +874,18 @@ def q21_crawl_order(sf_dir: str):
 
 def q23_search(sf_dir: str):
     """Multi-term AND search with proximity scoring over the built
-    reverse index (reference menu 4; O3-O8/J4)."""
-    from .index import SearchIndex, build_index
+    reverse index (reference menu 4; O3-O8/J4).  Uses the distributed
+    dictionary (sorted blocks stay in the object store; the driver
+    holds only per-block word bounds and the touched postings — the
+    100-TB analog of the reference's disk-resident binary-searched
+    dict, PageSearcher.cpp:40-67)."""
+    from .index import PartitionedSearchIndex, build_index
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
-    dict_ds = build_index(docs)
-    tbl = pa.Table.from_pandas(dict_ds.to_pandas(), preserve_index=False)
+    dict_ds = build_index(docs).materialize()
     docs_pdf = docs.select_columns(["doc_id", "source"]).to_pandas()
     host = dict(zip(docs_pdf["doc_id"], docs_pdf["source"]))
-    idx = SearchIndex(tbl, doc_host=host)
+    idx = PartitionedSearchIndex(dict_ds, doc_host=host)
     out = idx.search("query filter", max_show=50)
     out["final_rank"] = np.round(out["final_rank"].astype(np.float64), 6)
     return out

@@ -9,10 +9,11 @@ refines ``r = 0.85·r + 0.15`` clamped to ≤ 100
       → per-batch partial sums per dst (combiner)
       → groupby(dst).sum()                            # the shuffle
 
-Rank state is broadcast via ``ray.put`` once per iteration (small
-side: one float per node).  At 10^9+ nodes the broadcast would become
-a hash-bucket join of a ranks Dataset against edges on ``src`` —
-partition key choice documented in SURVEY.md §7.4.
+Above the small-graph threshold each iteration is fully distributed:
+the ranks Dataset hash-joins edges on ``src`` (no broadcast of a
+node-proportional dict), contributions pre-aggregate per batch, and a
+``groupby(dst).sum`` + left join back onto the node set closes the
+iteration — partition keys ``src``/``dst`` per SURVEY.md §7.4.
 """
 
 from __future__ import annotations
@@ -84,37 +85,76 @@ def pagerank(
         r = np.minimum(damping * r + (1 - damping), 100.0)
         return pd.DataFrame({"node": node_ids.astype(np.uint64), "rank": r})
 
-    ranks = {int(n): 1.0 for n in nodes}
+    # distributed path: ranks live in a Dataset and meet the edges via
+    # a hash-partitioned join on src each iteration — nothing
+    # node-proportional is ever broadcast or held on the driver
+    try:
+        npart = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        npart = 8
+    # join keys ride as int64 bit-views of the uint64 node hashes
+    node_ids = np.sort(nodes)
+    node_i64 = node_ids.view(np.int64)
+    nodes_ds = ray.data.from_pandas(
+        pd.DataFrame({"node": node_i64})
+    ).materialize()
+    ranks_ds = ray.data.from_pandas(
+        pd.DataFrame({"node": node_i64, "rank": 1.0})
+    ).materialize()
+
+    def cast_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": b["src"].to_numpy().astype(np.uint64).view(np.int64),
+                "dst": b["dst"].to_numpy().astype(np.uint64).view(np.int64),
+                "out_degree": b["out_degree"].to_numpy(np.int64),
+            }
+        )
+
+    edges_mat = edges_ds.map_batches(cast_edges, batch_format="pandas").materialize()
+
+    def contrib(b: pd.DataFrame) -> pd.DataFrame:
+        c = (damping * b["rank"].to_numpy(np.float64) + (1 - damping)) / b[
+            "out_degree"
+        ].to_numpy(np.float64)
+        return (
+            pd.DataFrame({"dst": b["dst"], "c": c})
+            .groupby("dst", as_index=False)["c"]
+            .sum()
+        )  # per-batch combiner before the shuffle
+
+    def fill_zero(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"node": b["node"], "rank": b["rank"].fillna(0.0).astype(np.float64)}
+        )
+        return out
+
     for _ in range(n_iters):
-        ref = ray.put(ranks)
-
-        class Contrib:
-            def __init__(self):
-                self.prev = ray.get(ref)
-
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                src = batch["src"].to_numpy()
-                prev = self.prev
-                r = np.array([prev.get(int(s), 0.0) for s in src])
-                c = (damping * r + (1 - damping)) / batch["out_degree"].to_numpy()
-                part = (
-                    pd.DataFrame({"dst": batch["dst"], "c": c})
-                    .groupby("dst", as_index=False)["c"]
-                    .sum()
-                )  # per-batch combiner before the shuffle
-                return part
-
+        joined = edges_mat.join(
+            ranks_ds,
+            join_type="inner",
+            num_partitions=npart,
+            on=("src",),
+            right_on=("node",),
+        )
         sums = (
-            edges_ds.map_batches(Contrib, batch_format="pandas", concurrency=2)
+            joined.map_batches(contrib, batch_format="pandas")
             .groupby("dst")
             .aggregate(Sum("c", alias_name="rank"))
-            .to_pandas()
         )
-        ranks = {int(n): 0.0 for n in nodes}
-        for d, r in zip(sums["dst"], sums["rank"]):
-            ranks[int(d)] = float(r)
-    out = pd.DataFrame(
-        {"node": list(ranks.keys()), "rank": list(ranks.values())}
-    )
+        # nodes with no in-links this round keep rank 0 (left join back)
+        ranks_ds = (
+            nodes_ds.join(
+                sums,
+                join_type="left_outer",
+                num_partitions=npart,
+                on=("node",),
+                right_on=("dst",),
+            )
+            .map_batches(fill_zero, batch_format="pandas")
+            .materialize()
+        )
+    out = ranks_ds.to_pandas()
     out["rank"] = np.minimum(damping * out["rank"] + (1 - damping), 100.0)
+    out["node"] = out["node"].to_numpy(np.int64).view(np.uint64)
     return out.sort_values("node").reset_index(drop=True)

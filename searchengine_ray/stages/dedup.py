@@ -36,21 +36,40 @@ def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """hash-partition by content hash → per-group keep min(id).
+    """Exact content dedup, combiner-first: per-batch partial (min-id
+    survivor + count per content hash) → hash-partition by content hash
+    → per-partition vectorized final.  Never a per-group Python call —
+    the shuffle carries one row per distinct hash per batch and the
+    final is one pandas pass per partition.
 
-    Returns (survivors dataset with dup_count per kept row).
-    """
+    Returns the survivors dataset with ``dup_count`` per kept row."""
+    npart = _ncpus()
     hashed = ds.map_batches(
         lambda t: add_text_hash(t, text_col), batch_format="pyarrow"
     )
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        first = g.head(1).copy()
-        first["dup_count"] = len(g)
-        return first
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(id_col)
+        keep = b.drop_duplicates("text_hash").copy()
+        cnt = b.groupby("text_hash").size()
+        keep["partial_count"] = keep["text_hash"].map(cnt).astype("int64")
+        keep["part"] = (keep["text_hash"].to_numpy(np.uint64) % np.uint64(npart)).astype(
+            np.int64
+        )
+        return keep
 
-    return hashed.groupby("text_hash").map_groups(keep_first, batch_format="pandas")
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        cnt = g.groupby("text_hash")["partial_count"].sum()
+        keep = g.drop_duplicates("text_hash").copy()
+        keep["dup_count"] = keep["text_hash"].map(cnt).astype("int64")
+        return keep.drop(columns=["partial_count", "part"])
+
+    return (
+        hashed.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(finalize, batch_format="pandas")
+    )
 
 
 # --------------------------------------------------------------- minhash LSH
@@ -287,27 +306,33 @@ def phash_dedup(ds, phash_col: str = "phash", id_col: str = "image_id"):
     """Exact perceptual-hash dedup: keep min(id) per phash + count
     suppressed (SURVEY.md §2.7 payload-level analog of J1).
 
-    Map-side partial (per-batch min-id row + count per phash) → one
-    small driver-side final merge; at 100 TB the final becomes a
-    hash-partitioned groupby on ``phash`` (SURVEY §7.4), but its input
-    is already only one row per phash per batch."""
+    Combiner-first: per-batch partial (one min-id row + count per
+    phash per batch) → hash-partition by phash → per-partition
+    vectorized final (SURVEY §7.4 partition key)."""
+    npart = _ncpus()
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values(id_col)
         keep = b.drop_duplicates(phash_col).copy()
         cnt = b.groupby(phash_col).size()
-        keep["dup_count"] = keep[phash_col].map(cnt).astype("int64")
+        keep["partial_count"] = keep[phash_col].map(cnt).astype("int64")
+        keep["part"] = (
+            keep[phash_col].to_numpy(np.int64).astype(np.uint64) % np.uint64(npart)
+        ).astype(np.int64)
         return keep
 
-    import ray.data
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        cnt = g.groupby(phash_col)["partial_count"].sum()
+        keep = g.drop_duplicates(phash_col).copy()
+        keep["dup_count"] = keep[phash_col].map(cnt).astype("int64")
+        return keep.drop(columns=["partial_count", "part"])
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    if parts.empty:
-        return ray.data.from_pandas(parts)
-    cnt = parts.groupby(phash_col)["dup_count"].sum()
-    final = parts.sort_values(id_col).drop_duplicates(phash_col).copy()
-    final["dup_count"] = final[phash_col].map(cnt).astype("int64")
-    return ray.data.from_pandas(final.reset_index(drop=True))
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(finalize, batch_format="pandas")
+    )
 
 
 def phash_near_pairs(

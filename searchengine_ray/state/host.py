@@ -65,6 +65,7 @@ HOSTSTATE_SCHEMA = pa.schema(
         ("next_time", pa.int64()),
         ("fail_count", pa.int32()),
         ("cand_count", pa.int64()),
+        ("dns_addr", pa.int64()),
     ]
 )
 
@@ -77,6 +78,12 @@ class HostShards:
         self.host_next: dict[int, int] = {}
         self.host_fail: dict[int, int] = {}
         self.host_cand: dict[int, int] = {}
+        # positive DNS cache (m_okHosts, SearchEngine.h:526 — host md5 →
+        # IPv4): first successful connect caches a synthetic address so
+        # later fetches skip resolution; checkpointed named state
+        self.host_dns: dict[int, int] = {}
+        self.dns_hits = 0
+        self.dns_misses = 0
         self.store = store
 
     # ------------------------------------------------------------ dequeue
@@ -212,12 +219,20 @@ class HostShards:
                 outcome, content_row = OUT_SKIP_BADHOST, -1
             elif not known[i]:
                 self.host_fail[hh] = fails + 1
+                self.dns_misses += 1
                 outcome, content_row = OUT_CONNECT_FAIL, -1
             elif status[i] == synth.STATUS_TIMEOUT:
                 self.host_fail[hh] = fails + 1
                 outcome, content_row = OUT_TIMEOUT, -1
             else:
                 self.host_fail.pop(hh, None)
+                # connect reached the host: cache its (synthetic)
+                # address, m_okHosts-style — hit on every later fetch
+                if hh in self.host_dns:
+                    self.dns_hits += 1
+                else:
+                    self.dns_misses += 1
+                    self.host_dns[hh] = int(hh & 0xFFFFFFFF)
                 if status[i] == synth.STATUS_NOTFOUND:
                     outcome, content_row = OUT_NOTFOUND, -1
                 elif status[i] == synth.STATUS_REDIRECT:
@@ -238,13 +253,42 @@ class HostShards:
         return pa.table(rows, schema=PICKS_SCHEMA)
 
     # ---------------------------------------------------------- admission
-    def admit_phase1(self, cand: pa.Table) -> pa.Table:
+    def admit_phase1_chunks(self, *chunks) -> tuple:
+        """Chained phase 1: consume the fetch actors' candidate-chunk
+        OBJECTS directly (chunks arrive in ascending fetch_seq order, so
+        their concat is in global (fetch_seq, pos) candidate order), keep
+        only this actor's shards, run robots + quota.  No driver hop —
+        the output objects chain straight into the seen actors and the
+        sequencer.
+
+        → (chain table (fetch_seq, pos, url_hash, ok), pre-append shard
+        sizes) — sizes piggybacked for the sequencer's cap phase."""
+        mine = [c for c in chunks if len(c)]
+        if mine:
+            cand = pa.concat_tables(mine)
+            shard_np = cand["shard"].to_numpy(zero_copy_only=False)
+            owned = np.isin(shard_np, np.asarray(self.shard_ids, np.int32))
+            cand = cand.filter(pa.array(owned))
+        else:
+            cand = None
+        if cand is None or len(cand) == 0:
+            empty = pa.table(
+                {
+                    "fetch_seq": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int32()),
+                    "url_hash": pa.array([], pa.uint64()),
+                    "ok": pa.array([], pa.bool_()),
+                }
+            )
+            return empty, self.shard_sizes()
+        return self._phase1(cand), self.shard_sizes()
+
+    def _phase1(self, cand: pa.Table) -> pa.Table:
         """robots + per-host quota for THIS actor's shards.
 
         ``cand`` must arrive sorted by global candidate order; quota
         counters increment per candidate that passes robots, matching
         the reference's filterURL side effect (SearchEngine.h:746-756).
-        Returns cand + (ok: bool, reason: string) columns.
         """
         hhs = cand["host_hash"].to_numpy(zero_copy_only=False)
         uhs = cand["url_hash"].to_numpy(zero_copy_only=False)
@@ -281,25 +325,32 @@ class HostShards:
                     reason[i] = "quota"
                 else:
                     self.host_cand[hh] = c + 1
-        # return (ok mask, slim chain table, sizes): the chain table is
-        # what every seen actor deserializes — keep it hash+order only
-        # (no strings), and piggyback frontier sizes (pre-append) so
-        # the driver's cap phase needs no extra RPC round
+        # slim chain table: what every seen actor and the sequencer
+        # deserialize — keys + verdict only, no strings
         chain = pa.table(
             {
+                "fetch_seq": cand["fetch_seq"],
+                "pos": cand["pos"],
                 "url_hash": cand["url_hash"],
-                "order": cand["order"],
                 "ok": pa.array(ok),
             }
         )
-        return ok, chain, self.shard_sizes()
+        return chain
 
     def shard_sizes(self) -> dict[int, int]:
         return {s: len(v) for s, v in self.frontier.items()}
 
     def append_frontier(self, admitted: pa.Table) -> None:
-        """Append admitted rows (already seq-assigned, cap-filtered by
-        the driver) to the owned shards, in enqueue_seq order."""
+        """Append admitted rows (seq-assigned + cap-filtered by the
+        sequencer) to the owned shards, in enqueue_seq order.  Receives
+        the full admitted table (chained object) and selects its own
+        shards itself."""
+        shard_np = admitted["shard"].to_numpy(zero_copy_only=False)
+        owned = np.isin(shard_np, np.asarray(self.shard_ids, np.int32))
+        if not owned.all():
+            admitted = admitted.filter(pa.array(owned))
+        if len(admitted) == 0:
+            return
         order = np.argsort(admitted["enqueue_seq"].to_numpy(zero_copy_only=False))
         cols = {
             name: admitted[name].to_pylist()
@@ -332,13 +383,17 @@ class HostShards:
                 f["host_hash"].append(hh)
                 f["host"].append(host)
         hosts_all = sorted(
-            set(self.host_next) | set(self.host_fail) | set(self.host_cand)
+            set(self.host_next)
+            | set(self.host_fail)
+            | set(self.host_cand)
+            | set(self.host_dns)
         )
         hstate = {
             "host_hash": hosts_all,
             "next_time": [self.host_next.get(k, 0) for k in hosts_all],
             "fail_count": [self.host_fail.get(k, 0) for k in hosts_all],
             "cand_count": [self.host_cand.get(k, 0) for k in hosts_all],
+            "dns_addr": [self.host_dns.get(k, -1) for k in hosts_all],
         }
         return (
             pa.table(f, schema=FRONTIER_SCHEMA),
@@ -376,3 +431,12 @@ class HostShards:
             )
             if v
         }
+        if "dns_addr" in hoststate.column_names:
+            self.host_dns = {
+                k: v
+                for k, v in zip(
+                    hoststate["host_hash"].to_pylist(),
+                    hoststate["dns_addr"].to_pylist(),
+                )
+                if v >= 0
+            }

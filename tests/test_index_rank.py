@@ -174,3 +174,36 @@ def test_pagerank_paths_agree(ray_session):
     dist = pagerank(eds, nodes, n_iters=3, small_graph_threshold=0)
     merged = fast.merge(dist, on="node", suffixes=("_f", "_d"))
     assert np.allclose(merged["rank_f"], merged["rank_d"], atol=1e-9)
+
+
+def test_partitioned_search_matches_driver_index(ray_session):
+    """PartitionedSearchIndex (sorted-block pruning, postings-only
+    fetches) returns exactly what the driver-side SearchIndex returns,
+    while touching only the blocks whose word range can match."""
+    import pyarrow as pa
+    import ray
+
+    from searchengine_ray.pipelines.index import PartitionedSearchIndex
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(120),
+            "text": [" ".join(rng.choice(vocab, 30)) for _ in range(120)],
+        }
+    )
+    ds = ray.data.from_pandas(docs)
+    dict_ds = build_index(ds).materialize()
+    tbl = pa.Table.from_pandas(dict_ds.to_pandas(), preserve_index=False)
+    driver_idx = SearchIndex(tbl)
+    part_idx = PartitionedSearchIndex(dict_ds)
+    n_blocks = len(part_idx._refs)
+    for q in ["w001", "w050 w100", '"w001 w002"', "w299", "nosuchword"]:
+        a = driver_idx.search(q).reset_index(drop=True)
+        b = part_idx.search(q).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+    # pruning: single-term queries must not have fetched every block
+    # every time (the sparse bounds index prunes)
+    if n_blocks > 1:
+        assert part_idx.blocks_fetched < 5 * n_blocks
