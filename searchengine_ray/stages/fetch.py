@@ -151,9 +151,18 @@ class FetchDecode:
         the pool once up front instead."""
         return True
 
-    def __call__(self, batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+    def __call__(
+        self, batch: pa.Table, start: int | None = None, length: int | None = None
+    ) -> tuple[pa.Table, pa.Table]:
         """picks chunk → (content metadata table, candidates table);
-        payload bytes written to parquet here (if payload_dir set)."""
+        payload bytes written to parquet here (if payload_dir set).
+
+        The driver ships the WHOLE epoch's picks once via ``ray.put``
+        and passes (ref, start, length) per chunk — the actor slices
+        its window zero-copy instead of the driver serializing one
+        slice per chunk."""
+        if start is not None:
+            batch = batch.slice(start, length)
         store = self.store
         out = {k.name: [] for k in CONTENT_SCHEMA}
         pay = {k.name: [] for k in PAYLOAD_SCHEMA}
