@@ -373,8 +373,6 @@ def phash_near_pairs(
             )
         return pd.concat(out, ignore_index=True)
 
-    from ray.data.aggregate import Min
-
     npart = _ncpus()
     empty = pd.DataFrame(
         {
@@ -414,14 +412,28 @@ def phash_near_pairs(
         return out[out["hamming"] <= max_hamming]
 
     # partition merge emits each surviving pair once per matching
-    # band-bucket partition; the groupby(pair) Min dedups (identical
-    # hamming on every copy)
+    # band-bucket partition; a second hash-partition keyed on the PAIR
+    # dedups with one vectorized drop_duplicates per partition (Ray's
+    # string-keyed Aggregate operator is ~10x slower here)
+    def pair_part(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b.assign(part2=pd.Series([], dtype="int64"))
+        ha = fnv1a64_batch(pa.array(b["id_a"].astype(str)))
+        hb = fnv1a64_batch(pa.array(b["id_b"].astype(str)))
+        b = b.copy()
+        b["part2"] = ((ha ^ hb) % np.uint64(npart)).astype(np.int64)
+        return b
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"]).drop(columns=["part2"])
+
     out = (
         ds.map_batches(bands_part, batch_format="pandas")
         .groupby("part")
         .map_groups(partition_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+        .map_batches(pair_part, batch_format="pandas")
+        .groupby("part2")
+        .map_groups(pair_dedup, batch_format="pandas")
         .to_pandas()
     )
     if out.empty:
