@@ -438,66 +438,84 @@ class RayCrawl:
             # Everything below is submission-only; the fetch pool,
             # the admission actors, and the driver all run concurrently.
             nf = len(self.fetch_actors)
-            # guided self-scheduling: chunk sizes decay geometrically
-            # (each ≈ remaining / 2nf, floor 64) so the epoch tail is
-            # fine-grained — early finishers aren't left idle behind one
-            # big straggler chunk while the next dequeue waits
-            min_chunk = int(os.environ.get("CRAWL_MIN_CHUNK", "64"))
-            spans = []
-            i, rem = 0, len(ok_picks)
-            while rem > 0:
-                c = min(rem, max(min_chunk, rem // (2 * nf)))
-                spans.append((i, c))
-                i += c
-                rem -= c
             picks_ref = ray.put(ok_picks)  # one plasma object, sliced in-actor
-            # dynamic dispatch: each completion hands the next span to
-            # the actor that finished (work stealing) — a slow actor
-            # never strands pre-assigned chunks while others idle.
-            # Spans are SUBMITTED in index order, so admission waves
-            # (groups of nf spans, chained by cand ref) stay in global
-            # candidate order regardless of which actor runs what.
-            rets: list = []
-            owner_of: dict = {}
-            outstanding: list = []
-            next_span = 0
-            flushed = 0
+            mode = os.environ.get("CRAWL_DISPATCH", "static")
+            if mode == "dynamic":
+                # work-stealing dispatch: guided (decaying) spans; each
+                # completion hands the next span to the actor that
+                # finished — a slow actor never strands queued chunks.
+                # Costs one driver reaction per span, so it pays off
+                # only when per-actor speed skew is large.
+                min_chunk = int(os.environ.get("CRAWL_MIN_CHUNK", "128"))
+                spans = []
+                i, rem = 0, len(ok_picks)
+                while rem > 0:
+                    c = min(rem, max(min_chunk, rem // (2 * nf)))
+                    spans.append((i, c))
+                    i += c
+                    rem -= c
+                rets: list = []
+                owner_of: dict = {}
+                outstanding: list = []
+                next_span = 0
+                flushed = 0
 
-            def submit(actor_idx: int) -> None:
-                nonlocal next_span
-                s, c = spans[next_span]
-                cref, kref = (
-                    self.fetch_actors[actor_idx]
-                    .__call__.options(num_returns=2)
-                    .remote(picks_ref, s, c)
+                def submit(actor_idx: int) -> None:
+                    nonlocal next_span
+                    s, c = spans[next_span]
+                    cref, kref = (
+                        self.fetch_actors[actor_idx]
+                        .__call__.options(num_returns=2)
+                        .remote(picks_ref, s, c)
+                    )
+                    rets.append((cref, kref))
+                    owner_of[cref] = actor_idx
+                    outstanding.append(cref)
+                    next_span += 1
+
+                def flush_waves() -> None:
+                    nonlocal flushed
+                    while next_span - flushed >= nf or (
+                        next_span == len(spans) and flushed < len(spans)
+                    ):
+                        wave = rets[flushed : flushed + nf]
+                        content_refs.extend(c for c, _k in wave)
+                        stat_refs.append(
+                            self._submit_wave([k for _c, k in wave])
+                        )
+                        flushed += len(wave)
+
+                depth = 3  # outstanding spans per actor
+                for a in range(nf):
+                    for _ in range(depth):
+                        if next_span < len(spans):
+                            submit(a)
+                flush_waves()
+                while next_span < len(spans):
+                    done, outstanding = ray.wait(
+                        outstanding, num_returns=1, fetch_local=False
+                    )
+                    submit(owner_of.pop(done[0]))
+                    flush_waves()
+            else:
+                # static pre-submission: every span queued upfront (no
+                # driver in the loop — actors chain chunk to chunk with
+                # zero reaction latency); uniform spans over `waves`
+                # rounds per actor
+                waves = int(os.environ.get("CRAWL_WAVES", "2"))
+                chunk = max(
+                    64, (len(ok_picks) + nf * waves - 1) // (nf * waves)
                 )
-                rets.append((cref, kref))
-                owner_of[cref] = actor_idx
-                outstanding.append(cref)
-                next_span += 1
-
-            def flush_waves() -> None:
-                nonlocal flushed
-                while next_span - flushed >= nf or (
-                    next_span == len(spans) and flushed < len(spans)
-                ):
-                    wave = rets[flushed : flushed + nf]
+                rets = [
+                    self.fetch_actors[(i // chunk) % nf]
+                    .__call__.options(num_returns=2)
+                    .remote(picks_ref, i, min(chunk, len(ok_picks) - i))
+                    for i in range(0, len(ok_picks), chunk)
+                ]
+                for w0 in range(0, len(rets), nf):
+                    wave = rets[w0 : w0 + nf]
                     content_refs.extend(c for c, _k in wave)
                     stat_refs.append(self._submit_wave([k for _c, k in wave]))
-                    flushed += len(wave)
-
-            depth = 2  # outstanding spans per actor
-            for a in range(nf):
-                for _ in range(depth):
-                    if next_span < len(spans):
-                        submit(a)
-            flush_waves()
-            while next_span < len(spans):
-                done, outstanding = ray.wait(
-                    outstanding, num_returns=1, fetch_local=False
-                )
-                submit(owner_of.pop(done[0]))
-                flush_waves()
         self._flush_rollback()
         # prefetch the NEXT epoch's dequeue: the tasks queue behind this
         # epoch's appends (actor FIFO), so the dequeue computes while the
