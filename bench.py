@@ -85,7 +85,10 @@ def run_bench() -> dict:
     results: dict[str, float] = {}
 
     # ---- headline: crawl to frontier exhaustion -----------------------
-    images, truth = synth.gen_images(CRAWL_IMAGES, seed=42, sizes=(144, 192))
+    sizes = tuple(
+        int(x) for x in os.environ.get("BENCH_IMG_SIZES", "144,192").split(",")
+    )
+    images, truth = synth.gen_images(CRAWL_IMAGES, seed=42, sizes=sizes)
     store = synth.gen_web(CRAWL_URLS, CRAWL_IMAGES, seed=42)
     synth.attach_captions(store, images)
     seeds = synth.gen_seeds(store, 3000, seed=42)
@@ -250,10 +253,11 @@ def run_scaling() -> None:
 
     lo = int(os.environ.get("SCALING_LO", "4"))
     hi = int(os.environ.get("SCALING_HI", "16"))
+    reps = int(os.environ.get("SCALING_REPEATS", "3"))
     # alternate levels so host-interference waves hit both equally;
     # take the best (least-interfered) run per level
     runs = {lo: [], hi: []}
-    for _ in range(3):
+    for _ in range(reps):
         runs[lo].append(run_at(lo))
         runs[hi].append(run_at(hi))
     best = {n: max(rs, key=lambda r: r["urls_per_s"]) for n, rs in runs.items()}

@@ -351,22 +351,19 @@ class HostShards:
             admitted = admitted.filter(pa.array(owned))
         if len(admitted) == 0:
             return
-        order = np.argsort(admitted["enqueue_seq"].to_numpy(zero_copy_only=False))
-        cols = {
-            name: admitted[name].to_pylist()
-            for name in ("shard", "enqueue_seq", "url", "url_hash", "host_hash", "host")
-        }
-        for i in order:
-            s = cols["shard"][i]
-            self.frontier[s].append(
-                (
-                    cols["enqueue_seq"][i],
-                    cols["url"][i],
-                    cols["url_hash"][i],
-                    cols["host_hash"][i],
-                    cols["host"][i],
-                )
-            )
+        admitted = admitted.sort_by("enqueue_seq")
+        frontier = self.frontier
+        for s, row in zip(
+            admitted["shard"].to_pylist(),
+            zip(
+                admitted["enqueue_seq"].to_pylist(),
+                admitted["url"].to_pylist(),
+                admitted["url_hash"].to_pylist(),
+                admitted["host_hash"].to_pylist(),
+                admitted["host"].to_pylist(),
+            ),
+        ):
+            frontier[s].append(row)
 
     def frontier_size(self) -> int:
         return sum(len(v) for v in self.frontier.values())
