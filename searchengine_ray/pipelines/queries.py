@@ -1222,6 +1222,117 @@ def q32_crawl_rank_index_search(sf_dir: str):
     return out
 
 
+def q37_clean_corpus(sf_dir: str):
+    """Training-corpus cleanup composition (the classic pretraining
+    filter): keep documents that are English by the stopword-profile
+    langid AND pass quality gates (length + stopword-ratio + mean
+    token length), all as integer-ppm thresholds so the oracle compare
+    is exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def clean(b: pd.DataFrame) -> pd.DataFrame:
+        lang = tx.langid(b)
+        toks = tx.tokenize_series(b["text"])
+        n = toks.str.len().astype("int64")
+        stop = toks.map(lambda t: sum(w in STOPWORDS for w in t)).astype("int64")
+        chars = toks.map(lambda t: sum(len(w) for w in t)).astype("int64")
+        stop_ppm = stop * 1_000_000 // n.clip(lower=1)
+        mean_len_ppm = chars * 1_000_000 // n.clip(lower=1)
+        keep = (
+            (lang["lang_pred"].to_numpy() == "en")
+            & (n.to_numpy() >= 5)
+            & (stop_ppm.to_numpy() <= 500_000)
+            & (mean_len_ppm.to_numpy() >= 2_000_000)
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": n,
+                "stopword_ppm": stop_ppm,
+                "mean_token_len_ppm": mean_len_ppm,
+            }
+        )
+        return out[keep]
+
+    return ds.map_batches(clean, batch_format="pandas")
+
+
+def _q37_sql() -> str:
+    langs = sorted(LANG_PROFILES)
+    score_cols = ",\n       ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS {}".format(
+            ",".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang])), lang
+        )
+        for lang in langs
+    )
+    # argmax with lexicographic ties → 'en' wins only if every lang
+    # lexicographically before it scores strictly less and every lang
+    # after scores less-or-equal
+    before = [la for la in langs if la < "en"]
+    after = [la for la in langs if la > "en"]
+    cond = " AND ".join(
+        [f"{la} < en" for la in before] + [f"{la} <= en" for la in after]
+    ) or "TRUE"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, toks, {score_cols} FROM t),
+q AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1000000
+               // len(toks) AS stopword_ppm,
+             CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+               * 1000000 // len(toks) AS BIGINT) AS mean_token_len_ppm,
+             ({cond}) AS is_en
+      FROM s WHERE len(toks) > 0)
+SELECT doc_id, n_tokens, stopword_ppm, mean_token_len_ppm
+FROM q
+WHERE is_en AND n_tokens >= 5 AND stopword_ppm <= 500000
+  AND mean_token_len_ppm >= 2000000
+"""
+
+
+def q38_dedup_survivors(sf_dir: str):
+    """Dedup-then-project composition: the exact-dedup survivors table
+    joined back to its documents (the 'write the cleaned corpus' step
+    of a dedup pipeline) — reuses the distributed exact_dedup stage."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = dd.exact_dedup(ds, "text", "doc_id")
+    return out.select_columns(["doc_id", "source", "dup_count"])
+
+
+SQL_Q38 = """
+SELECT d.doc_id, ANY_VALUE(d.source) AS source, dc.dup_count
+FROM documents d
+JOIN (SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+      FROM documents GROUP BY text) dc
+  ON d.doc_id = dc.keep_id
+GROUP BY d.doc_id, dc.dup_count
+"""
+
+
+def q39_token_histogram(sf_dir: str):
+    """Token-count distribution (corpus length histogram, bucket=10):
+    per-batch combiner → tiny driver final."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        toks = tx.tokenize_series(b["text"])
+        bucket = (toks.str.len().astype("int64") // 10) * 10
+        out = pd.DataFrame({"bucket": bucket})
+        return out.groupby("bucket", as_index=False).agg(n_docs=("bucket", "size"))
+
+    return _final_combine(
+        ds.map_batches(prep, batch_format="pandas"), ["bucket"], ["n_docs"]
+    )
+
+
+SQL_Q39 = f"""
+SELECT CAST(len({_TOKS}) // 10 * 10 AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ catalog
 
 
@@ -1263,6 +1374,9 @@ def queries():
         "q34_region_revenue": q34_region_revenue,
         "q35_props_extract": q35_props_extract,
         "q36_supplier_balance": q36_supplier_balance,
+        "q37_clean_corpus": q37_clean_corpus,
+        "q38_dedup_survivors": q38_dedup_survivors,
+        "q39_token_histogram": q39_token_histogram,
     }
 
 
@@ -1291,4 +1405,7 @@ def oracle_sql():
         "q34_region_revenue": SQL_Q34,
         "q35_props_extract": SQL_Q35,
         "q36_supplier_balance": SQL_Q36,
+        "q37_clean_corpus": _q37_sql(),
+        "q38_dedup_survivors": SQL_Q38,
+        "q39_token_histogram": SQL_Q39,
     }

@@ -76,30 +76,47 @@ class CuckooFilter:
         return ((self.table[i1] == fpc) | (self.table[i2] == fpc)).any(axis=1)
 
     def add_batch(self, hashes: np.ndarray) -> None:
-        """Insert all (assumed not present; caller dedups)."""
+        """Insert all (assumed not present; caller dedups).
+
+        Vectorized placement: values are rank-assigned to the k-th free
+        slot of their bucket per round (i1 round, then i2), so
+        within-batch same-bucket collisions resolve without a Python
+        loop; only values whose both buckets are full fall back to the
+        per-value evict loop (rare below the load limit)."""
         h = hashes.astype(np.uint64, copy=False)
         fps = self._fingerprint(h)
         i1s = self._index1(h)
         i2s = self._alt_index(i1s, fps)
         table = self.table
-        for k in range(len(h)):
+        pending = np.arange(len(h))
+        for tgt in (i1s, i2s):
+            if len(pending) == 0:
+                break
+            b = tgt[pending].astype(np.int64)
+            order = np.argsort(b, kind="stable")
+            bs = b[order]
+            newgrp = np.r_[True, bs[1:] != bs[:-1]] if len(bs) else np.zeros(0, bool)
+            grp_start = np.nonzero(newgrp)[0]
+            grp_id = np.cumsum(newgrp) - 1
+            rank = np.arange(len(bs)) - grp_start[grp_id]
+            free = (table[bs] == 0).sum(axis=1)
+            can = rank < free
+            if can.any():
+                place = order[can]              # positions within pending
+                pb = bs[can]
+                pr = rank[can]
+                # k-th empty slot per row (empties sort first, stable)
+                slot_order = np.argsort(table[pb] != 0, axis=1, kind="stable")
+                slots = slot_order[np.arange(len(pb)), pr]
+                table[pb, slots] = fps[pending[place]]
+                self.count += len(pb)
+                keep = np.ones(len(pending), bool)
+                keep[place] = False
+                pending = pending[keep]
+        for k in pending:  # both buckets full → evict loop (rare)
             fp = fps[k]
-            i = int(i1s[k])
-            alt = int(i2s[k])
-            placed = False
-            for idx in (i, alt):
-                row = table[idx]
-                empty = np.nonzero(row == 0)[0]
-                if len(empty):
-                    row[empty[0]] = fp
-                    placed = True
-                    break
-            if placed:
-                self.count += 1
-                continue
-            # evict loop
             cur_fp = fp
-            cur_i = alt
+            cur_i = int(i2s[k])
             ok = False
             for _ in range(MAX_KICKS):
                 slot = self._next_rand() % self.BUCKET
