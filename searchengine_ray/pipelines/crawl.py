@@ -119,6 +119,11 @@ class _Sequencer:
     def __init__(self, cfg):
         self.cfg = cfg
         self.enqueue_seq = 0
+        # per-shard admits since the epoch started: frontier appends are
+        # deferred to the next epoch's dequeue, so the host actors'
+        # piggybacked sizes stay pre-epoch — the sequencer adds its own
+        # running admissions to keep the cap math identical
+        self.shard_add: dict[int, int] = {}
 
     def get_seq(self) -> int:
         return self.enqueue_seq
@@ -126,10 +131,12 @@ class _Sequencer:
     def set_seq(self, v: int) -> None:
         self.enqueue_seq = int(v)
 
-    def process(self, n_chunks: int, n_hosts: int, *refs):
+    def process(self, reset_sizes: bool, n_chunks: int, n_hosts: int, *refs):
         """(cand chunks ×n_chunks, phase1 outputs ×n_hosts, phase2
         outputs ×rest) → (admitted table, rollback table, stats)."""
         cfg = self.cfg
+        if reset_sizes:
+            self.shard_add = {}
         chunks = refs[:n_chunks]
         p1s = refs[n_chunks : n_chunks + n_hosts]
         p2s = refs[n_chunks + n_hosts :]
@@ -175,7 +182,12 @@ class _Sequencer:
         shard2 = sub2["shard"].to_numpy(zero_copy_only=False)
         keep = np.ones(len(sub2), bool)
         room = {
-            s: max(0, cfg.max_frontier_per_shard - sizes.get(s, 0))
+            s: max(
+                0,
+                cfg.max_frontier_per_shard
+                - sizes.get(s, 0)
+                - self.shard_add.get(s, 0),
+            )
             for s in set(shard2.tolist())
         }
         if any(r < len(sub2) for r in room.values()):  # cap can bind → in-order scan
@@ -209,6 +221,10 @@ class _Sequencer:
         self.enqueue_seq += len(final)
         final = final.append_column("enqueue_seq", pa.array(seqs))
         stats["admitted"] = len(final)
+        fshard = final["shard"].to_numpy(zero_copy_only=False)
+        uniq, cnts = np.unique(fshard, return_counts=True)
+        for s, c in zip(uniq.tolist(), cnts.tolist()):
+            self.shard_add[s] = self.shard_add.get(s, 0) + c
         return final, rb_tbl, stats
 
 
@@ -303,7 +319,9 @@ class RayCrawl:
         self._pending_rb: tuple = (None, None)  # (tag, rollback table ref)
         self._wave_tag = 0
         self._append_refs: list = []
+        self._unappended: list = []  # admitted-table refs awaiting append
         self._prefetched_dequeue: tuple | None = None
+        self._seed_stats_ref = None
 
     # ------------------------------------------------------------ seeding
     def admit_seeds(self, seeds: list[str]) -> None:
@@ -313,16 +331,18 @@ class RayCrawl:
             list(range(len(seeds))),
             self.cfg.shard_count,
         )
-        self._submit_wave([cand])
+        self._seed_stats_ref = self._submit_wave([cand], first_of_epoch=True)
 
     # ---------------------------------------------------------- admission
-    def _submit_wave(self, cand_refs: list):
+    def _submit_wave(self, cand_refs: list, first_of_epoch: bool = False):
         """Submit one wave's admission ladder — fetch candidate chunks
         (object refs or tables, in ascending fetch_seq order) chained
         through phase1 (host actors) → phase2 (seen actors, pulling the
-        previous wave's rollback) → sequencer → frontier appends.  Pure
-        submission: the driver never blocks here.  Returns the wave's
-        stats object ref."""
+        previous wave's rollback) → sequencer.  Frontier appends are
+        DEFERRED: the admitted-table refs accumulate and ride into the
+        next epoch's ``append_and_dequeue`` (one hop less at the epoch
+        boundary; the sequencer tracks per-shard admits so cap math
+        stays exact).  Pure submission; returns the wave's stats ref."""
         self._wave_tag += 1
         tag = self._wave_tag
         p1 = [
@@ -335,12 +355,20 @@ class RayCrawl:
         ]
         adm_ref, rb_new, stats_ref = self.seq_actor.process.options(
             num_returns=3
-        ).remote(len(cand_refs), len(p1), *cand_refs, *p1, *p2)
-        self._append_refs.extend(
-            a.append_frontier.remote(adm_ref) for a in self.host_actors
-        )
+        ).remote(first_of_epoch, len(cand_refs), len(p1), *cand_refs, *p1, *p2)
+        self._unappended.append(adm_ref)
         self._pending_rb = (tag, rb_new)
         return stats_ref
+
+    def _flush_appends(self) -> None:
+        """Submit any deferred frontier appends explicitly (used by the
+        non-prefetched dequeue paths and the checkpoint snapshot)."""
+        if self._unappended:
+            self._append_refs.extend(
+                a.append_many.remote(*self._unappended)
+                for a in self.host_actors
+            )
+            self._unappended = []
 
     def _flush_rollback(self) -> None:
         """Idempotently apply the last wave's pending seen-set rollback
@@ -380,6 +408,7 @@ class RayCrawl:
             # THEN resolve outcomes — so host fail-counters never record
             # picks the budget cut off (oracle's early break; keeps a
             # checkpointed run resumable past a raised limit)
+            self._flush_appends()
             sel = pa.concat_tables(
                 ray.get([a.dequeue_select.remote(epoch) for a in self.host_actors])
             ).sort_by([("t_sched", "ascending"), ("enqueue_seq", "ascending")])
@@ -412,6 +441,7 @@ class RayCrawl:
             if pf_futs is not None and pf_epoch == epoch:
                 futs = pf_futs
             else:
+                self._flush_appends()
                 futs = [a.dequeue_epoch.remote(epoch) for a in self.host_actors]
             picks = pa.concat_tables(ray.get(futs)).sort_by(
                 [("t_sched", "ascending"), ("enqueue_seq", "ascending")]
@@ -515,30 +545,37 @@ class RayCrawl:
                 for w0 in range(0, len(rets), nf):
                     wave = rets[w0 : w0 + nf]
                     content_refs.extend(c for c, _k in wave)
-                    stat_refs.append(self._submit_wave([k for _c, k in wave]))
+                    stat_refs.append(
+                        self._submit_wave(
+                            [k for _c, k in wave], first_of_epoch=(w0 == 0)
+                        )
+                    )
         self._flush_rollback()
-        # prefetch the NEXT epoch's dequeue: the tasks queue behind this
-        # epoch's appends (actor FIFO), so the dequeue computes while the
-        # driver is otherwise between epochs — next run_epoch's get is
-        # near-instant.  Only on the plain path (no binding budget, no
-        # checkpoint snapshots which must observe pre-dequeue state).
+        # prefetch the NEXT epoch's dequeue, carrying this epoch's
+        # deferred appends in the same task (one boundary hop): the task
+        # queues behind this epoch's phase-1s (actor FIFO) and computes
+        # while the driver is between epochs.  Only on the plain path
+        # (no binding budget, no checkpoint snapshots which must observe
+        # appended-but-not-dequeued state).
         if prefetch_next and cfg.max_fetches is None and not self.checkpoint:
+            adm = self._unappended
+            self._unappended = []
             self._prefetched_dequeue = (
                 epoch + 1,
-                [a.dequeue_epoch.remote(epoch + 1) for a in self.host_actors],
+                [
+                    a.append_and_dequeue.remote(epoch + 1, *adm)
+                    for a in self.host_actors
+                ],
             )
-        # metrics are refs resolved lazily at result(): the count /
-        # frontier-size tasks queue behind this epoch's appends (actor
-        # FIFO), so the values are post-epoch-exact even though the
-        # driver never waits for them here
+        # metrics are refs resolved lazily at result(); seen/frontier
+        # sizes are derived arithmetically there (seen == Σ admitted,
+        # frontier == Σ admitted − Σ picked) — no per-epoch RPCs
         self._metric_refs.append(
             {
                 "epoch": epoch,
                 "picked": n,
                 "fetched_ok": None,  # resolved with the content refs
                 "stats": stat_refs,
-                "seen": [a.count.remote() for a in self.seen_actors],
-                "frontier": [a.frontier_size.remote() for a in self.host_actors],
             }
         )
         # content metadata stays as refs — resolved off the epoch
@@ -586,10 +623,18 @@ class RayCrawl:
         return self.result()
 
     def _metrics_rows(self) -> list[dict]:
-        """Resolve the lazily-collected per-epoch metric refs (counts
-        queued post-append on each actor, so values are epoch-exact)."""
+        """Resolve the lazily-collected per-epoch metric refs.  The
+        seen/frontier sizes derive arithmetically from the admission
+        counters (seen == Σ admitted incl. seeds; frontier == seen −
+        Σ picked) — every admit inserted into the seen set survives
+        (rollbacks never count as admitted) and every pick permanently
+        leaves the frontier."""
         ray = self.ray
         rows = []
+        seen_cum = 0
+        if self._seed_stats_ref is not None:
+            seen_cum += ray.get(self._seed_stats_ref)["admitted"]
+        picked_cum = 0
         for m in self._metric_refs:
             stats = {
                 "candidates": 0,
@@ -600,6 +645,8 @@ class RayCrawl:
             for s in ray.get(list(m["stats"])):
                 for k in stats:
                     stats[k] += s[k]
+            seen_cum += stats["admitted"]
+            picked_cum += m["picked"]
             rows.append(
                 {
                     "epoch": m["epoch"],
@@ -611,14 +658,15 @@ class RayCrawl:
                     "rejected_static": 0,
                     "rejected_robots_quota": stats["rejected_robots_quota"],
                     "rejected_dup": stats["rejected_dup"],
-                    "frontier_size": sum(ray.get(list(m["frontier"]))),
-                    "seen_size": sum(ray.get(list(m["seen"]))),
+                    "frontier_size": seen_cum - picked_cum,
+                    "seen_size": seen_cum,
                 }
             )
         return rows
 
     def result(self) -> EngineResult:
         ray = self.ray
+        self._flush_appends()  # frontier state complete for any later use
         if self._append_refs:  # surface any admission-chain errors
             ray.get(self._append_refs)
             self._append_refs = []
@@ -643,6 +691,7 @@ class RayCrawl:
     # --------------------------------------------------------- checkpoint
     def write_checkpoint(self) -> None:
         ray = self.ray
+        self._flush_appends()  # snapshots must include deferred appends
         self._resolve_content()
         epoch = self.epoch  # state AFTER epoch-1 completed
         d = os.path.join(self.ckpt_dir, f"epoch={epoch}")

@@ -87,6 +87,20 @@ class HostShards:
         self.store = store
 
     # ------------------------------------------------------------ dequeue
+    def append_and_dequeue(self, epoch: int, *admitted) -> pa.Table:
+        """Apply any deferred frontier appends (the previous epoch's
+        admitted tables, chained object refs), then dequeue — one actor
+        hop instead of append-tasks + dequeue at the epoch boundary."""
+        for adm in admitted:
+            if adm is not None and len(adm):
+                self.append_frontier(adm)
+        return self.dequeue_epoch(epoch)
+
+    def append_many(self, *admitted) -> None:
+        for adm in admitted:
+            if adm is not None and len(adm):
+                self.append_frontier(adm)
+
     def dequeue_epoch(self, epoch: int) -> pa.Table:
         """Politeness-greedy per-shard selection + fetch-outcome
         resolution, in (t_sched, enqueue_seq) order per shard (host
