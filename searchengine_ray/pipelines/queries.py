@@ -75,6 +75,20 @@ def _ncpus() -> int:
         return 8
 
 
+def _join_parts(sf_dir: str, *tables: str) -> int:
+    """Hash-join partition count sized by DATA volume (≈32 MB of input
+    per partition), clamped to the cluster — partition count must grow
+    with the data at 100 TB, but spinning 32 aggregator actors for a
+    20 MB join is pure overhead at test scale."""
+    total = 0
+    for t in tables:
+        try:
+            total += os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+        except OSError:
+            pass
+    return int(min(max(2, total // (32 << 20) + 1), 4 * _ncpus()))
+
+
 def _final_combine(partials_ds, keys: list, sums: list) -> pd.DataFrame:
     """Finish a map-side-combined aggregate on the driver: the partial
     rows are tiny (one row per group per batch), so Ray's shuffle-based
@@ -203,7 +217,7 @@ def q03_revenue_by_segment(sf_dir: str):
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=_ncpus(),
+        num_partitions=_join_parts(sf_dir, "orders", "customer"),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -240,7 +254,7 @@ def q04_customers_without_orders(sf_dir: str):
         .join(
             okeys,
             join_type="left_anti",
-            num_partitions=_ncpus(),
+            num_partitions=_join_parts(sf_dir, "customer", "orders"),
             on=("c_custkey",),
             right_on=("o_custkey",),
         )
@@ -292,7 +306,7 @@ def q05_nation_orders(sf_dir: str):
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=_ncpus(),
+        num_partitions=_join_parts(sf_dir, "orders", "customer"),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -780,7 +794,7 @@ def q26_brand_volume(sf_dir: str):
     joined = li.join(
         part,
         join_type="inner",
-        num_partitions=_ncpus(),
+        num_partitions=_join_parts(sf_dir, "lineitem", "part"),
         on=("l_partkey",),
         right_on=("p_partkey",),
     )
@@ -1035,7 +1049,7 @@ def q34_region_revenue(sf_dir: str):
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=_ncpus(),
+        num_partitions=_join_parts(sf_dir, "orders", "customer"),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
