@@ -74,7 +74,12 @@ class HostShards:
     def __init__(self, cfg, shard_ids, store: synth.WebStore):
         self.cfg = cfg
         self.shard_ids = list(shard_ids)
-        self.frontier: dict[int, list] = {s: [] for s in self.shard_ids}
+        # frontier is PERSISTENTLY host-bucketed: shard → {host_hash →
+        # deque of (seq, url, url_hash, host_hash, host)} — dequeue
+        # consumes in place (O(picks + active hosts) per epoch, never a
+        # per-epoch O(frontier) rebuild/sort)
+        self.frontier: dict[int, dict] = {s: {} for s in self.shard_ids}
+        self.shard_n: dict[int, int] = {s: 0 for s in self.shard_ids}
         self.host_next: dict[int, int] = {}
         self.host_fail: dict[int, int] = {}
         self.host_cand: dict[int, int] = {}
@@ -163,13 +168,10 @@ class HostShards:
         t0 = epoch * cfg.epoch_ms
         picks = []  # (t, seq, url, url_hash, host_hash, shard)
         for shard in self.shard_ids:
-            entries = self.frontier[shard]
-            if not entries:
+            by_host = self.frontier[shard]  # persistent host buckets
+            if not by_host:
                 continue
             t = t0
-            by_host: dict[int, deque] = {}
-            for e in entries:  # entries already in enqueue_seq order
-                by_host.setdefault(e[3], deque()).append(e)
             ready = []    # (min_seq, host) — hosts eligible now
             waiting = []  # (next_t, min_seq, host)
             for hh, q in by_host.items():
@@ -197,15 +199,14 @@ class HostShards:
                 host_picks[hh] = host_picks.get(hh, 0) + 1
                 picks.append((t, seq, url, h, hh, shard))
                 n_picked += 1
-                if q and host_picks[hh] < cfg.per_host_epoch_cap:
-                    heapq.heappush(
-                        waiting, (self.host_next[hh], q[0][0], hh)
-                    )
-            # rebuild frontier: whatever remains in the per-host queues,
-            # restored to enqueue_seq order
-            remaining = [e for q in by_host.values() for e in q]
-            remaining.sort(key=lambda e: e[0])
-            self.frontier[shard] = remaining
+                self.shard_n[shard] -= 1
+                if q:
+                    if host_picks[hh] < cfg.per_host_epoch_cap:
+                        heapq.heappush(
+                            waiting, (self.host_next[hh], q[0][0], hh)
+                        )
+                else:
+                    del by_host[hh]  # drained host bucket
         picks.sort(key=lambda p: (p[0], p[1]))
         return picks
 
@@ -352,7 +353,7 @@ class HostShards:
         return chain
 
     def shard_sizes(self) -> dict[int, int]:
-        return {s: len(v) for s, v in self.frontier.items()}
+        return dict(self.shard_n)
 
     def append_frontier(self, admitted: pa.Table) -> None:
         """Append admitted rows (seq-assigned + cap-filtered by the
@@ -365,8 +366,11 @@ class HostShards:
             admitted = admitted.filter(pa.array(owned))
         if len(admitted) == 0:
             return
+        from collections import deque
+
         admitted = admitted.sort_by("enqueue_seq")
         frontier = self.frontier
+        shard_n = self.shard_n
         for s, row in zip(
             admitted["shard"].to_pylist(),
             zip(
@@ -377,22 +381,29 @@ class HostShards:
                 admitted["host"].to_pylist(),
             ),
         ):
-            frontier[s].append(row)
+            by_host = frontier[s]
+            hh = row[3]
+            q = by_host.get(hh)
+            if q is None:
+                by_host[hh] = q = deque()
+            q.append(row)
+            shard_n[s] += 1
 
     def frontier_size(self) -> int:
-        return sum(len(v) for v in self.frontier.values())
+        return sum(self.shard_n.values())
 
     # --------------------------------------------------------- checkpoint
     def snapshot(self) -> tuple[pa.Table, pa.Table]:
         f = {k.name: [] for k in FRONTIER_SCHEMA}
         for s in self.shard_ids:
-            for seq, url, h, hh, host in self.frontier[s]:
-                f["shard"].append(s)
-                f["enqueue_seq"].append(seq)
-                f["url"].append(url)
-                f["url_hash"].append(h)
-                f["host_hash"].append(hh)
-                f["host"].append(host)
+            for hh_key in sorted(self.frontier[s]):
+                for seq, url, h, hh, host in self.frontier[s][hh_key]:
+                    f["shard"].append(s)
+                    f["enqueue_seq"].append(seq)
+                    f["url"].append(url)
+                    f["url_hash"].append(h)
+                    f["host_hash"].append(hh)
+                    f["host"].append(host)
         hosts_all = sorted(
             set(self.host_next)
             | set(self.host_fail)
@@ -412,7 +423,10 @@ class HostShards:
         )
 
     def restore(self, frontier: pa.Table, hoststate: pa.Table) -> None:
-        self.frontier = {s: [] for s in self.shard_ids}
+        from collections import deque
+
+        self.frontier = {s: {} for s in self.shard_ids}
+        self.shard_n = {s: 0 for s in self.shard_ids}
         fr = frontier.sort_by("enqueue_seq")
         for s, seq, url, h, hh, host in zip(
             fr["shard"].to_pylist(),
@@ -422,7 +436,12 @@ class HostShards:
             fr["host_hash"].to_pylist(),
             fr["host"].to_pylist(),
         ):
-            self.frontier[s].append((seq, url, h, hh, host))
+            by_host = self.frontier[s]
+            q = by_host.get(hh)
+            if q is None:
+                by_host[hh] = q = deque()
+            q.append((seq, url, h, hh, host))
+            self.shard_n[s] += 1
         self.host_next = dict(
             zip(hoststate["host_hash"].to_pylist(), hoststate["next_time"].to_pylist())
         )
