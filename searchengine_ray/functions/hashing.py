@@ -91,6 +91,22 @@ def fnv1a64_batch(strs) -> np.ndarray:
     return h
 
 
+def fnv1a64_fixed(mat: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a/64 over fixed-width byte rows.
+
+    ``mat`` is an (n, w) uint8 matrix; every row hashes its full w
+    bytes — w numpy ops total for the batch (the fixed-width analog of
+    ``fnv1a64_batch``, used e.g. to band-hash MinHash signature
+    chunks viewed as bytes)."""
+    mat = np.ascontiguousarray(mat, dtype=np.uint8)
+    n = mat.shape[0]
+    h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(mat.shape[1]):
+            h = (h ^ mat[:, j].astype(np.uint64)) * FNV_PRIME
+    return h
+
+
 def hash_combine(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Mix two uint64 hash columns (for (band, value) composite keys)."""
     with np.errstate(over="ignore"):
