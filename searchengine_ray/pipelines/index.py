@@ -266,7 +266,17 @@ class SearchIndex:
         out = out.sort_values(["final_rank", "page_index"], ascending=[False, True])
         out = out.head(max_show).reset_index(drop=True)
         if self.doc_host:
-            out["host"] = out["page_index"].map(self.doc_host)
+            # doc_host may be a dict (small corpora) or a resolver
+            # callable ids → {id: host} so the host sidecar is fetched
+            # for the ≤max_show RESULT rows only, never materialized
+            # corpus-wide on the driver (J6 display merge,
+            # PageSearcher.cpp:301-346 keeps its sidecar file-resident)
+            mapping = (
+                self.doc_host(out["page_index"].tolist())
+                if callable(self.doc_host)
+                else self.doc_host
+            )
+            out["host"] = out["page_index"].map(mapping)
             merged = []
             for host, g in out.groupby("host", sort=False):
                 top = g.iloc[0]

@@ -465,7 +465,7 @@ FROM events GROUP BY user_id ORDER BY value_cents DESC, user_id LIMIT 20
 def q10_doc_dedup_exact(sf_dir: str):
     """Exact dedup: hash-partition by content hash, keep min id."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = dd.exact_dedup(ds, "text", "doc_id")
+    out = dd.exact_dedup(ds, "text", "doc_id", keep_cols=[])
     return out.select_columns(["doc_id", "dup_count"])
 
 
@@ -625,29 +625,33 @@ def q18_jaccard_pairs(sf_dir: str):
     count) → hash-partition by shingle → per-partition vectorized
     self-merge emitting partial pair counts → Ray groupby(pair) sum →
     ratio filter.  No full-dataset driver materialization; the driver
-    only holds the final thresholded pair list."""
+    only holds the final thresholded pair list.
+
+    Shingles travel as 64-bit hashes (``dedup._distinct_shingles`` —
+    one flat vectorized pass per batch, no per-doc Python loop), which
+    also slims the shuffle from strings to 8-byte keys; hash equality
+    stands in for string equality (collision odds ~2^-64 per pair)."""
     from ray.data.aggregate import Max, Sum
 
-    from ..functions.hashing import fnv1a64_batch
+    from ..stages.dedup import _distinct_shingles
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     K = 5
     npart = _ncpus()
 
     def shingles(b: pd.DataFrame) -> pd.DataFrame:
-        ids, shs, ns = [], [], []
-        for doc_id, text in zip(b["doc_id"], b["text"]):
-            toks = tx.TOKEN_RE.findall(str(text).lower())
-            ss = set(
-                " ".join(toks[i : i + K]) for i in range(max(len(toks) - K + 1, 0))
-            )
-            for s in ss:
-                ids.append(doc_id)
-                shs.append(s)
-                ns.append(len(ss))
-        out = pd.DataFrame({"doc_id": ids, "shingle": shs, "n": ns})
-        h = fnv1a64_batch(pa.array(out["shingle"], type=pa.string()))
-        out["part"] = (h % np.uint64(npart)).astype(np.int64)
+        didx, sh, _lens = _distinct_shingles(
+            b["text"], K, short_fallback=False
+        )
+        counts = np.bincount(didx, minlength=len(b)) if len(b) else np.zeros(0)
+        out = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy()[didx],
+                "shingle": sh.view(np.int64),
+                "n": counts[didx].astype(np.int64),
+            }
+        )
+        out["part"] = (sh % np.uint64(npart)).astype(np.int64)
         return out
 
     def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -897,9 +901,18 @@ def q23_search(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     dict_ds = build_index(docs).materialize()
-    docs_pdf = docs.select_columns(["doc_id", "source"]).to_pandas()
-    host = dict(zip(docs_pdf["doc_id"], docs_pdf["source"]))
-    idx = PartitionedSearchIndex(dict_ds, doc_host=host)
+
+    def host_of(ids: list[int]) -> dict[int, str]:
+        # result-set-only host lookup: a row-filtered 2-column parquet
+        # read for the <=max_show hit pages (never a corpus-wide dict)
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source"],
+            filters=[("doc_id", "in", [int(i) for i in ids])],
+        )
+        return dict(zip(t["doc_id"].to_pylist(), t["source"].to_pylist()))
+
+    idx = PartitionedSearchIndex(dict_ds, doc_host=host_of)
     out = idx.search("query filter", max_show=50)
     out["final_rank"] = np.round(out["final_rank"].astype(np.float64), 6)
     return out
@@ -1310,7 +1323,7 @@ def q38_dedup_survivors(sf_dir: str):
     joined back to its documents (the 'write the cleaned corpus' step
     of a dedup pipeline) — reuses the distributed exact_dedup stage."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
-    out = dd.exact_dedup(ds, "text", "doc_id")
+    out = dd.exact_dedup(ds, "text", "doc_id", keep_cols=["source"])
     return out.select_columns(["doc_id", "source", "dup_count"])
 
 

@@ -35,21 +35,38 @@ def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("text_hash", pa.array(h, type=pa.uint64()))
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+):
     """Exact content dedup, combiner-first: per-batch partial (min-id
     survivor + count per content hash) → hash-partition by content hash
     → per-partition vectorized final.  Never a per-group Python call —
     the shuffle carries one row per distinct hash per batch and the
     final is one pandas pass per partition.
 
+    ``keep_cols`` projects the shuffle payload: only (text_hash, id,
+    count) + the listed columns ride the hash partition — pass [] so
+    the raw ``text`` (or any binary payload) never transits the
+    shuffle at 100-TB scale; None (default) carries every column.
+
     Returns the survivors dataset with ``dup_count`` per kept row."""
     npart = _ncpus()
     hashed = ds.map_batches(
         lambda t: add_text_hash(t, text_col), batch_format="pyarrow"
     )
+    proj = (
+        None
+        if keep_cols is None
+        else list(dict.fromkeys([id_col, *keep_cols, "text_hash"]))
+    )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values(id_col)
+        if proj is not None:
+            b = b[proj]
         keep = b.drop_duplicates("text_hash").copy()
         cnt = b.groupby("text_hash").size()
         keep["partial_count"] = keep["text_hash"].map(cnt).astype("int64")
@@ -86,7 +103,7 @@ def _minhash_params(num_perm: int, seed: int = 7):
 
 
 def _distinct_shingles(
-    texts, shingle_k: int
+    texts, shingle_k: int, short_fallback: bool = True
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """→ (doc_idx, shingle_hash, n_tokens_per_doc) — each doc's DISTINCT
     k-token shingle hashes, fully vectorized past tokenization.
@@ -94,9 +111,10 @@ def _distinct_shingles(
     Token hashes come from one ``fnv1a64_batch`` over the batch's flat
     token stream; a shingle hash is the polynomial combine of its k
     token hashes, computed with k−1 shifted-slice ops over the flat
-    array (windows crossing a doc boundary are masked out).  Docs
-    shorter than k contribute one all-tokens shingle, matching
-    ``text.shingle_set``'s fallback."""
+    array (windows crossing a doc boundary are masked out).  With
+    ``short_fallback`` docs shorter than k contribute one all-tokens
+    shingle (matching ``text.shingle_set``); without it they emit
+    nothing (SQL ``range(len-k+1)`` semantics, q18's oracle)."""
     tok_lists = [TOKEN_RE.findall(str(t).lower()) for t in texts]
     lens = np.array([len(t) for t in tok_lists], np.int64)
     flat = [w for ts in tok_lists for w in ts]
@@ -116,7 +134,11 @@ def _distinct_shingles(
         ok = np.arange(nw) + shingle_k <= off[doc_of + 1]
         parts_d.append(doc_of[ok])
         parts_s.append(acc[ok])
-    short = np.nonzero((lens > 0) & (lens < shingle_k))[0]
+    short = (
+        np.nonzero((lens > 0) & (lens < shingle_k))[0]
+        if short_fallback
+        else np.zeros(0, np.int64)
+    )
     for d in short:  # rare: docs shorter than one shingle
         hs = H[off[d] : off[d + 1]]
         with np.errstate(over="ignore"):
@@ -440,17 +462,27 @@ def simhash_batch(
 # ---------------------------------------------------------------- phash dedup
 
 
-def phash_dedup(ds, phash_col: str = "phash", id_col: str = "image_id"):
+def phash_dedup(
+    ds,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    keep_cols: list[str] | None = None,
+):
     """Exact perceptual-hash dedup: keep min(id) per phash + count
     suppressed (SURVEY.md §2.7 payload-level analog of J1).
 
     Combiner-first: per-batch partial (one min-id row + count per
     phash per batch) → hash-partition by phash → per-partition
-    vectorized final (SURVEY §7.4 partition key)."""
+    vectorized final (SURVEY §7.4 partition key).  ``keep_cols``
+    projects the shuffle payload like ``exact_dedup`` — image bytes
+    must never ride the dedup shuffle (callers also pre-select)."""
     npart = _ncpus()
+    proj = None if keep_cols is None else [id_col, *keep_cols, phash_col]
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values(id_col)
+        if proj is not None:
+            b = b[list(dict.fromkeys(proj))]
         keep = b.drop_duplicates(phash_col).copy()
         cnt = b.groupby(phash_col).size()
         keep["partial_count"] = keep[phash_col].map(cnt).astype("int64")
@@ -609,20 +641,25 @@ def embedding_neardup_pairs(
         )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized in-bucket verify: upper-triangle similarity mask,
+        # no per-pair Python loop (buckets hold k rows → one k×k matmul)
         emb = np.stack(g[emb_col].to_numpy()).astype(np.float64)
         norm = np.linalg.norm(emb, axis=1, keepdims=True)
         norm[norm == 0] = 1
         sims = (emb / norm) @ (emb / norm).T
         ids = g[id_col].to_numpy()
-        ia, ib, s = [], [], []
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                if sims[i, j] >= threshold:
-                    lo, hi = sorted((ids[i], ids[j]))
-                    ia.append(lo)
-                    ib.append(hi)
-                    s.append(round(float(sims[i, j]), 6))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos_sim": s})
+        iu, ju = np.triu_indices(len(g), k=1)
+        hit = sims[iu, ju] >= threshold
+        iu, ju = iu[hit], ju[hit]
+        lo = np.minimum(ids[iu], ids[ju])
+        hi = np.maximum(ids[iu], ids[ju])
+        return pd.DataFrame(
+            {
+                "id_a": lo,
+                "id_b": hi,
+                "cos_sim": np.round(sims[iu, ju], 6),
+            }
+        )
 
     return (
         ds.map_batches(bucketize, batch_format="pandas")
