@@ -511,7 +511,10 @@ class RayCrawl:
                         wave = rets[flushed : flushed + nf]
                         content_refs.extend(c for c, _k in wave)
                         stat_refs.append(
-                            self._submit_wave([k for _c, k in wave])
+                            self._submit_wave(
+                                [k for _c, k in wave],
+                                first_of_epoch=(flushed == 0),
+                            )
                         )
                         flushed += len(wave)
 
@@ -664,8 +667,17 @@ class RayCrawl:
             )
         return rows
 
+    def _drain_prefetch(self) -> None:
+        """A prefetched append_and_dequeue has already consumed frontier
+        picks and advanced politeness clocks; if no further epoch runs
+        those picks would silently vanish.  result()/checkpoint drain it
+        through the normal epoch path so state stays exact."""
+        if self._prefetched_dequeue is not None:
+            self.run_epoch(prefetch_next=False)
+
     def result(self) -> EngineResult:
         ray = self.ray
+        self._drain_prefetch()
         self._flush_appends()  # frontier state complete for any later use
         if self._append_refs:  # surface any admission-chain errors
             ray.get(self._append_refs)
@@ -871,9 +883,7 @@ class _SeenActor:
         return len(self.shard)
 
     def dump_hashes(self) -> np.ndarray:
-        out = np.fromiter(self.shard.exact, np.uint64, len(self.shard.exact))
-        out.sort()
-        return out
+        return self.shard.dump_hashes()
 
     def to_state(self) -> dict:
         return self.shard.to_state()

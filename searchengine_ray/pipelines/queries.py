@@ -966,29 +966,28 @@ def q28_ivf_topk(sf_dir: str):
 
 
 def q29_embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs via hyperplane LSH.
+    """Embedding-cosine near-dup RECALL HARNESS via hyperplane LSH.
 
     The synthetic embeddings table has no natural near-dups at the
-    0.99 threshold, so the query plants deterministic perturbed copies
-    (vec_id + 1_000_000, relative noise 1e-4) of the first 20 vectors —
-    the recovered pairs prove LSH bucketing + in-bucket verify recall
-    (asserted exactly in tests/test_dedup_similarity.py)."""
+    0.99 threshold, so this query runs the pipeline over the table
+    UNION a declared fixture of planted perturbed copies
+    (``synth.gen_planted_neardups`` — vec_id + 1_000_000, noise 1e-4);
+    recovering all 20 planted pairs proves LSH bucket + in-bucket
+    verify recall (asserted in tests/test_dedup_similarity.py).  The
+    output describes dataset ∪ fixture, not the stored table alone."""
     import ray
+
+    from ..sources.synth import gen_planted_neardups
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     base = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     ).to_pandas()
     base = base.sort_values("vec_id").head(20)
-    rng = np.random.default_rng(29)
-    emb = np.stack(base["embedding"].to_numpy()).astype(np.float64)
-    noisy = emb * (1.0 + 1e-4 * rng.standard_normal(emb.shape))
-    planted = pd.DataFrame(
-        {
-            "vec_id": base["vec_id"].to_numpy() + 1_000_000,
-            "embedding": list(noisy.astype(np.float32)),
-        }
+    ids, noisy = gen_planted_neardups(
+        np.stack(base["embedding"].to_numpy()), base["vec_id"].to_numpy()
     )
+    planted = pd.DataFrame({"vec_id": ids, "embedding": list(noisy)})
     full = ds.union(ray.data.from_pandas(planted))
     return dd.embedding_neardup_pairs(full, threshold=0.99)
 

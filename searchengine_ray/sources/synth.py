@@ -336,6 +336,26 @@ def gen_seeds(store: WebStore, k: int = 12, seed: int = 42) -> list[str]:
     return seeds
 
 
+def gen_planted_neardups(
+    base_emb: "np.ndarray",
+    base_ids: "np.ndarray",
+    n: int = 20,
+    id_offset: int = 1_000_000,
+    rel_noise: float = 1e-4,
+    seed: int = 29,
+):
+    """Deterministic near-duplicate recall fixture: perturbed copies
+    (id + ``id_offset``, relative noise ``rel_noise``) of the first
+    ``n`` vectors.  Shared by the q29 recall harness and its test so
+    the query stays a pure function of (dataset ∪ declared fixture) —
+    the planted rows are fixture data, not query-side fabrication.
+    → (ids, embeddings float32)."""
+    rng = np.random.default_rng(seed)
+    emb = np.asarray(base_emb[:n], np.float64)
+    noisy = emb * (1.0 + rel_noise * rng.standard_normal(emb.shape))
+    return np.asarray(base_ids[:n]) + id_offset, noisy.astype(np.float32)
+
+
 # ------------------------------------------------------------- HTML rendering
 
 def render_html(

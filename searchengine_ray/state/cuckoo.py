@@ -186,15 +186,59 @@ class SeenShard:
     ``test_and_add`` is the only mutation: returns the NEW mask (True =
     first sighting, now marked seen).  Within-batch duplicates resolve
     to one True (first occurrence).
+
+    The exact store is a sorted uint64 array (~8 B/URL — beats the
+    reference's ~40 B/URL hash-set triple, ``README.md:9`` 48 MB/1M
+    pages) plus a small recent-insert set that merges into the array
+    when it outgrows its bound.  Membership = one vectorized
+    ``np.searchsorted`` + a set probe for the unmerged tail; rollback
+    removals hit the recent set in practice (they arrive within a wave
+    or two of the insert).
     """
 
     def __init__(self, capacity: int = 1 << 16, seed: int = 0):
         self._seed = seed
         self.filter = CuckooFilter(capacity, seed=seed ^ 0x9E3779B9)
-        self.exact: set[int] = set()
+        self._sorted = np.zeros(0, np.uint64)  # merged exact store
+        self._buf: set[int] = set()  # recent inserts awaiting merge
 
     def __len__(self) -> int:
-        return len(self.exact)
+        return len(self._sorted) + len(self._buf)
+
+    # -- exact store -----------------------------------------------------
+    def _merge_buf(self) -> None:
+        if self._buf:
+            add = np.fromiter(self._buf, np.uint64, len(self._buf))
+            self._sorted = np.sort(np.concatenate([self._sorted, add]))
+            self._buf = set()
+
+    def _maybe_merge(self) -> None:
+        # amortized: merge cost O(n log n) paid every O(n/8) inserts
+        if len(self._buf) > max(4096, len(self._sorted) >> 3):
+            self._merge_buf()
+
+    def _in_sorted(self, vals: np.ndarray) -> np.ndarray:
+        s = self._sorted
+        if len(s) == 0:
+            return np.zeros(len(vals), bool)
+        idx = np.searchsorted(s, vals)
+        idx[idx == len(s)] = len(s) - 1
+        return s[idx] == vals
+
+    def _in_exact(self, vals: np.ndarray) -> np.ndarray:
+        out = self._in_sorted(vals)
+        if self._buf:
+            miss = np.nonzero(~out)[0]
+            buf = self._buf
+            for k in miss:
+                if int(vals[k]) in buf:
+                    out[k] = True
+        return out
+
+    def dump_hashes(self) -> np.ndarray:
+        """All member hashes, sorted (conformance tests / result())."""
+        self._merge_buf()
+        return self._sorted.copy()
 
     def _rebuild(self, min_capacity: int) -> None:
         """Grow the filter (×2+) and re-insert from the exact store, in
@@ -203,15 +247,9 @@ class SeenShard:
         README's 10^10-frontier claim."""
         cap = max(min_capacity, self.filter.nbuckets * self.filter.BUCKET * 2)
         self.filter = CuckooFilter(cap, seed=self._seed ^ 0x9E3779B9)
-        vals = np.fromiter(self.exact, np.uint64, len(self.exact))
-        vals.sort()
-        if len(vals):
-            self.filter.add_batch(vals)
-
-    def _grow_if_needed(self, n_new: int) -> None:
-        f = self.filter
-        if f.count + n_new > f.nbuckets * f.BUCKET * 0.90:
-            self._rebuild(f.count + n_new * 2)
+        self._merge_buf()
+        if len(self._sorted):
+            self.filter.add_batch(self._sorted)
 
     def test_and_add(self, hashes: np.ndarray) -> np.ndarray:
         h = hashes.astype(np.uint64, copy=False)
@@ -225,14 +263,14 @@ class SeenShard:
         maybe_seen = self.filter.contains_batch(uniq)
         # filter negative → definitely new; filter positive → resolve
         # against the exact store (false positives stay exact-correct)
-        exact = self.exact
         is_new = ~maybe_seen
-        for k in np.nonzero(maybe_seen)[0]:
-            if int(uniq[k]) not in exact:
-                is_new[k] = True
+        pos = np.nonzero(maybe_seen)[0]
+        if len(pos):
+            is_new[pos[~self._in_exact(uniq[pos])]] = True
         new_vals = uniq[is_new]
         if len(new_vals):
-            exact.update(new_vals.tolist())
+            self._buf.update(new_vals.tolist())
+            self._maybe_merge()
             f = self.filter
             if f.count + len(new_vals) > f.nbuckets * f.BUCKET * 0.90:
                 self._rebuild(f.count + len(new_vals) * 2)  # includes new_vals
@@ -242,34 +280,47 @@ class SeenShard:
                 except RuntimeError:
                     # kick-failure below the load limit (rare): the exact
                     # store is authoritative, rebuild larger from it
-                    self._rebuild(len(exact) * 2)
+                    self._rebuild(len(self) * 2)
             new_mask[first_idx[is_new]] = True
         return new_mask
 
     def remove(self, hashes: np.ndarray) -> None:
         """Un-see hashes (shard-cap rollback — see pipelines/crawl.py)."""
         h = np.unique(hashes.astype(np.uint64, copy=False))
-        present = np.array([int(v) in self.exact for v in h], bool)
+        present = self._in_exact(h)
         h = h[present]
-        for v in h:
-            self.exact.discard(int(v))
-        if len(h):
-            self.filter.remove_batch(h)
+        if len(h) == 0:
+            return
+        in_buf = np.array([int(v) in self._buf for v in h], bool)
+        for v in h[in_buf]:
+            self._buf.discard(int(v))
+        old = h[~in_buf]
+        if len(old):  # rare: rollback of an already-merged hash
+            self._sorted = self._sorted[~self._in_sorted_mask(old)]
+        self.filter.remove_batch(h)
+
+    def _in_sorted_mask(self, vals: np.ndarray) -> np.ndarray:
+        """Boolean mask over self._sorted for members of vals."""
+        return np.isin(self._sorted, vals, assume_unique=True)
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         h = hashes.astype(np.uint64, copy=False)
         maybe = self.filter.contains_batch(h)
         out = np.zeros(len(h), bool)
-        for k in np.nonzero(maybe)[0]:
-            out[k] = int(h[k]) in self.exact
+        pos = np.nonzero(maybe)[0]
+        if len(pos):
+            out[pos] = self._in_exact(h[pos])
         return out
+
+    def nbytes(self) -> int:
+        """Approximate resident bytes of the exact store (bench probe)."""
+        return int(self._sorted.nbytes) + 64 * len(self._buf)
 
     # -- serialization ---------------------------------------------------
     def to_state(self) -> dict:
-        exact = np.fromiter(self.exact, np.uint64, len(self.exact))
-        exact.sort()
+        self._merge_buf()
         st = self.filter.to_state()
-        st["exact"] = exact.tobytes()
+        st["exact"] = self._sorted.tobytes()
         st["seed"] = self._seed
         return st
 
@@ -278,5 +329,6 @@ class SeenShard:
         obj = cls.__new__(cls)
         obj._seed = int(state.get("seed", 0))
         obj.filter = CuckooFilter.from_state(state)
-        obj.exact = set(np.frombuffer(state["exact"], np.uint64).tolist())
+        obj._sorted = np.frombuffer(state["exact"], np.uint64).copy()
+        obj._buf = set()
         return obj

@@ -85,6 +85,23 @@ def test_all_binding_together(ray_session, small_world, tmp_path):
     _assert_match(golden, res)
 
 
+def test_binding_limits_dynamic_dispatch(
+    ray_session, small_world, tmp_path, monkeypatch
+):
+    """The work-stealing fetch dispatch (CRAWL_DISPATCH=dynamic) must
+    obey the same admission semantics as the static path — its waves
+    reset the sequencer's per-epoch shard-cap accounting too
+    (first_of_epoch on the epoch's first flushed wave)."""
+    monkeypatch.setenv("CRAWL_DISPATCH", "dynamic")
+    cfg = CrawlConfig(
+        shard_count=6, per_shard_batch=30, seen_shards=3,
+        max_urls_per_host=6, max_frontier_per_shard=20, max_crawl_urls=200,
+        per_host_epoch_cap=3,
+    )
+    golden, res = _run_both(small_world, tmp_path, cfg, "dyn")
+    _assert_match(golden, res)
+
+
 def test_max_fetches_midepoch_state_conformance(ray_session, small_world, tmp_path):
     """When max_fetches binds mid-epoch, host fail-counters must stop
     exactly at the budget (oracle's early break) — the sliced-off picks

@@ -57,8 +57,30 @@ def test_seen_shard_roundtrip():
     h = np.unique(_hashes(1500, 13))
     s.test_and_add(h)
     t = SeenShard.from_state(s.to_state())
-    assert t.exact == s.exact
+    assert (t.dump_hashes() == s.dump_hashes()).all()
     assert not t.test_and_add(h[:100]).any()
+
+
+def test_seen_shard_sorted_store_paths():
+    """Exercise the sorted-array exact store across merges: inserts
+    past the buffer bound, rollback of merged AND unmerged hashes,
+    membership after both."""
+    s = SeenShard(capacity=1 << 15, seed=4)
+    h1 = np.unique(_hashes(6000, 31))
+    s.test_and_add(h1)
+    s._merge_buf()  # force h1 into the sorted store
+    h2 = np.unique(_hashes(100, 37)) + np.uint64(1)
+    h2 = np.setdiff1d(h2, h1)
+    s.test_and_add(h2)  # stays in the buffer
+    assert len(s) == len(h1) + len(h2)
+    # rollback one merged and one unmerged hash
+    s.remove(np.array([h1[10], h2[0]], np.uint64))
+    assert len(s) == len(h1) + len(h2) - 2
+    assert not s.contains(np.array([h1[10], h2[0]], np.uint64)).any()
+    assert s.contains(np.array([h1[11], h2[1]], np.uint64)).all()
+    # re-add after rollback works (the crawl's cap-reject → later re-admit)
+    assert s.test_and_add(np.array([h1[10]], np.uint64)).all()
+    assert s.nbytes() >= 8 * len(h1)
 
 
 def test_overflow_raises():

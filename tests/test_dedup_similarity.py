@@ -163,6 +163,46 @@ def test_ivf_topk_recall(ray_session):
     assert len(exact & approx) >= 3  # decent recall on clustered data
 
 
+def test_ivf_recall_on_embeddings_table(ray_session):
+    """Quantified IVF recall on q28's own fixture: top-10 by ivf_topk
+    (q28 params: 8 centroids, n_probe=3) vs the exact cosine_topk over
+    the sf0.001 embeddings table, with planted perturbations of the
+    query vector that any sane ANN must recover (they share the
+    query's IVF cell)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from searchengine_ray.sources.synth import gen_planted_neardups
+    from searchengine_ray.stages.similarity import (
+        cosine_topk,
+        ivf_build_centroids,
+        ivf_topk,
+    )
+
+    emb = pq.read_table(
+        os.path.join("/root/testdata/sf0.001", "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).to_pandas()
+    q = np.asarray(emb.loc[emb["vec_id"] == 0, "embedding"].iloc[0])
+    ids, noisy = gen_planted_neardups(
+        np.stack([q] * 5), np.zeros(5, np.int64) + np.arange(5), n=5
+    )
+    full = pd.concat(
+        [emb, pd.DataFrame({"vec_id": ids, "embedding": list(noisy)})],
+        ignore_index=True,
+    )
+    ds = ray.data.from_pandas(full)
+    cent = ivf_build_centroids(ds, n_centroids=8)
+    exact = cosine_topk(ds, q[None, :], k=10)
+    approx = ivf_topk(ds, q[None, :], cent, k=10, n_probe=3)
+    planted = set(ids.tolist())
+    assert len(planted & set(approx["vec_id"])) >= 4
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert recall >= 0.6, recall
+
+
 def test_embedding_neardup(ray_session):
     import ray
 
