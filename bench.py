@@ -77,7 +77,7 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
-    from searchengine_ray.pipelines.crawl import RayCrawl
+    from searchengine_ray.pipelines.crawl import RemoteCrawl
     from searchengine_ray.pipelines.oracle import CrawlConfig
     from searchengine_ray.sources import synth
     from searchengine_ray.stages.dedup import phash_dedup
@@ -104,11 +104,16 @@ def run_bench() -> dict:
         seen_shards=8,
     )
     t0 = time.time()
-    eng = RayCrawl(
+    # dispatcher-hosted engine: the entire epoch loop (pick sort,
+    # fetch_seq assignment, chunk planning, wave submission) runs in a
+    # dedicated actor — the driver blocks once on run()
+    eng = RemoteCrawl(
         store, images, truth, cfg,
         out_dir="/tmp/raycrawl_bench",
-        n_host_actors=8,
-        n_fetch_actors=max(2, NUM_CPUS // 2),
+        n_host_actors=int(os.environ.get("BENCH_HOST_ACTORS", "8")),
+        n_fetch_actors=int(
+            os.environ.get("BENCH_FETCH_ACTORS", str(max(2, NUM_CPUS // 2)))
+        ),
         write_payload=False,
     )
     eng.admit_seeds(seeds)
@@ -135,6 +140,7 @@ def run_bench() -> dict:
     # num_cpus=1 reservations and would starve the Ray Data queries
     for a in eng.fetch_actors + eng.host_actors + eng.seen_actors:
         ray.kill(a)
+    eng.shutdown()
     del eng
 
     # ---- storage accounting (vs reference <50 KB/page, README.md:10) --

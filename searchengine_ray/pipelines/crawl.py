@@ -94,6 +94,14 @@ class EngineResult:
     epochs: int = 0
 
 
+def _as_ref(ray, x):
+    """ray.put unless already an ObjectRef (lets callers broadcast the
+    web store / images once and share the ref across engine layers)."""
+    if x is None or isinstance(x, ray.ObjectRef):
+        return x
+    return ray.put(x)
+
+
 def _order_keys(fseq: np.ndarray, pos: np.ndarray) -> np.ndarray:
     """Pack the global candidate order (fetch_seq, pos) into one sortable
     int64 key (fetch_seq may be -1 for seeds; pos < 2^31)."""
@@ -265,9 +273,9 @@ class RayCrawl:
         )
         self.n_host_actors = min(n_host_actors, self.cfg.shard_count)
         self.n_seen = self.cfg.seen_shards
-        self.store_ref = ray.put(store)
-        self.images_ref = ray.put(images)
-        self.truth_ref = ray.put(truth) if truth is not None else None
+        self.store_ref = _as_ref(ray, store)
+        self.images_ref = _as_ref(ray, images)
+        self.truth_ref = _as_ref(ray, truth)
 
         HostActor = ray.remote(num_cpus=0)(HostShards)
         SeenActor = ray.remote(num_cpus=0)(_SeenActor)
@@ -892,6 +900,127 @@ class _SeenActor:
         self.shard = SeenShard.from_state(state)
 
 
+_DISPATCH_ENV = ("CRAWL_DISPATCH", "CRAWL_WAVES", "CRAWL_MIN_CHUNK", "CRAWL_COORD")
+
+
+class _EngineHost:
+    """Dispatcher-actor body: hosts a complete ``RayCrawl`` so ALL
+    per-epoch control logic — dequeue gather, global pick sort,
+    fetch_seq assignment, chunk planning, fetch/admission wave
+    submission — executes in one dedicated actor process.  The driver
+    never participates in an epoch boundary (it blocks once, on
+    ``run``); the boundary chain is ladder → this actor → fetch pool
+    (the round-2 scaling postmortem's remaining structural cut,
+    NOTES_ROUND2.md)."""
+
+    def __init__(self, refs: dict, kw: dict, dispatch_env: dict):
+        import os as _os
+
+        # dispatch-mode env vars are read by run_epoch at call time in
+        # THIS process; worker processes don't inherit driver env
+        for k, v in dispatch_env.items():
+            _os.environ[k] = v
+        self.eng = RayCrawl(
+            refs["store"], refs["images"], refs.get("truth"), **kw
+        )
+
+    def admit_seeds(self, seeds: list[str]) -> None:
+        self.eng.admit_seeds(seeds)
+
+    def warmup(self) -> None:
+        self.eng.warmup()
+
+    def run(self, max_epochs: int | None = None) -> EngineResult:
+        return self.eng.run(max_epochs=max_epochs)
+
+    def result(self) -> EngineResult:
+        return self.eng.result()
+
+    def actor_handles(self) -> tuple:
+        return (
+            self.eng.fetch_actors,
+            self.eng.host_actors,
+            self.eng.seen_actors,
+        )
+
+
+class RemoteCrawl:
+    """Driver facade over the dispatcher-hosted engine (plain path:
+    no checkpointing).  Same surface as ``RayCrawl`` for the methods
+    callers use (admit_seeds / warmup / run / actor handles); epoch
+    boundaries cost zero driver round-trips."""
+
+    def __init__(
+        self,
+        store,
+        images,
+        truth=None,
+        cfg: CrawlConfig | None = None,
+        out_dir: str = "/tmp/raycrawl",
+        n_host_actors: int = 4,
+        n_fetch_actors: int = 4,
+        write_payload: bool = True,
+    ):
+        import ray
+
+        self.ray = ray
+        dispatch_env = {
+            k: os.environ[k] for k in _DISPATCH_ENV if k in os.environ
+        }
+        # broadcast the fixture once; refs ride inside a dict so Ray
+        # does NOT auto-resolve them into the actor (RayCrawl accepts
+        # refs directly — one plasma copy total)
+        refs = {
+            "store": _as_ref(ray, store),
+            "images": _as_ref(ray, images),
+            "truth": _as_ref(ray, truth),
+        }
+        kw = dict(
+            out_dir=out_dir,
+            cfg=cfg,
+            n_host_actors=n_host_actors,
+            n_fetch_actors=n_fetch_actors,
+            checkpoint=False,
+            write_payload=write_payload,
+        )
+        Host = ray.remote(num_cpus=0)(_EngineHost)
+        self._host = Host.remote(refs, kw, dispatch_env)
+        self._handles = None
+
+    def admit_seeds(self, seeds: list[str]) -> None:
+        self.ray.get(self._host.admit_seeds.remote(seeds))
+
+    def warmup(self) -> None:
+        self.ray.get(self._host.warmup.remote())
+
+    def run(self, max_epochs: int | None = None) -> EngineResult:
+        return self.ray.get(self._host.run.remote(max_epochs))
+
+    def result(self) -> EngineResult:
+        return self.ray.get(self._host.result.remote())
+
+    def actor_handles(self) -> tuple:
+        if self._handles is None:
+            self._handles = self.ray.get(self._host.actor_handles.remote())
+        return self._handles
+
+    @property
+    def fetch_actors(self):
+        return self.actor_handles()[0]
+
+    @property
+    def host_actors(self):
+        return self.actor_handles()[1]
+
+    @property
+    def seen_actors(self):
+        return self.actor_handles()[2]
+
+    def shutdown(self) -> None:
+        """Kill the host actor (its child actors die with their owner)."""
+        self.ray.kill(self._host)
+
+
 def run_crawl(
     seeds: list[str],
     store: synth.WebStore,
@@ -905,6 +1034,25 @@ def run_crawl(
     max_epochs: int | None = None,
     write_payload: bool = True,
 ) -> EngineResult:
+    # plain path → dispatcher-hosted loop (CRAWL_COORD=driver forces
+    # the in-driver loop); checkpointing stays driver-side (filesystem
+    # writes + VersionedTable commits belong to the caller's process)
+    if not checkpoint and os.environ.get("CRAWL_COORD", "actor") == "actor":
+        eng = RemoteCrawl(
+            store,
+            images,
+            truth,
+            cfg,
+            out_dir,
+            n_host_actors=n_host_actors,
+            n_fetch_actors=n_fetch_actors,
+            write_payload=write_payload,
+        )
+        try:
+            eng.admit_seeds(seeds)
+            return eng.run(max_epochs=max_epochs)
+        finally:
+            eng.shutdown()
     eng = RayCrawl(
         store,
         images,
