@@ -542,8 +542,10 @@ class RayCrawl:
                 # static pre-submission: every span queued upfront (no
                 # driver in the loop — actors chain chunk to chunk with
                 # zero reaction latency); uniform spans over `waves`
-                # rounds per actor
-                waves = int(os.environ.get("CRAWL_WAVES", "2"))
+                # rounds per actor.  4 rounds beat 2 consistently at 32
+                # CPUs (smaller last-wave tail before the next dequeue
+                # can fire) and are neutral at 8 — sweep in BASELINE.md.
+                waves = int(os.environ.get("CRAWL_WAVES", "4"))
                 chunk = max(
                     64, (len(ok_picks) + nf * waves - 1) // (nf * waves)
                 )

@@ -1359,6 +1359,95 @@ FROM documents GROUP BY 1
 """
 
 
+def q40_asof_join(sf_dir: str):
+    """As-of join: each purchase matched to the same user's most
+    recent strictly-prior view (stages/temporal.py — hash-partition by
+    user, one vectorized merge_asof per partition)."""
+    from ..stages.temporal import asof_join
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = asof_join(ds, "purchase", "view").to_pandas()
+    return out.sort_values("left_id").reset_index(drop=True)
+
+
+SQL_Q40 = """
+WITH v AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+           FROM events WHERE event_type = 'view'),
+     p AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+           FROM events WHERE event_type = 'purchase')
+SELECT p.event_id AS left_id, p.user_id, p.ts_us AS left_ts_us,
+       m.right_id, m.right_ts_us,
+       p.ts_us - m.right_ts_us AS gap_us
+FROM p, LATERAL (
+    SELECT v.event_id AS right_id, v.ts_us AS right_ts_us
+    FROM v WHERE v.user_id = p.user_id AND v.ts_us < p.ts_us
+    ORDER BY v.ts_us DESC, v.event_id DESC LIMIT 1
+) m
+ORDER BY left_id
+"""
+
+
+def q41_value_percentiles(sf_dir: str):
+    """Exact per-group discrete percentiles (p50/p90/p99) of event
+    value-cents (stages/temporal.py — projected 2-column shuffle +
+    per-partition searchsorted; the exact path behind any t-digest
+    swap-in)."""
+    from ..stages.temporal import group_percentiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = group_percentiles(
+        ds, "event_type", "value", ps=(0.5, 0.9, 0.99), scale=100
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_Q41 = """
+SELECT event_type,
+       CAST(quantile_disc(CAST(ROUND(value*100) AS BIGINT), 0.5)  AS BIGINT) AS p50,
+       CAST(quantile_disc(CAST(ROUND(value*100) AS BIGINT), 0.9)  AS BIGINT) AS p90,
+       CAST(quantile_disc(CAST(ROUND(value*100) AS BIGINT), 0.99) AS BIGINT) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q42_sliding_window(sf_dir: str):
+    """Sliding event-time window: per event, count of the same user's
+    events in the preceding hour (RANGE window semantics;
+    stages/temporal.py composite-key searchsorted)."""
+    from ..stages.temporal import preceding_window_count
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = preceding_window_count(ds, window_us=3_600_000_000).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_Q42 = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_window
+FROM events ORDER BY event_id
+"""
+
+
+def q43_hll_distinct(sf_dir: str):
+    """Approximate distinct counts via HyperLogLog partials (p=12,
+    ~1.6 % s.e.) for users, documents sources, and event props —
+    fixed 4 KB per batch leaves the workers, nothing shuffles
+    (stages/sketch.py).  Approximation ⇒ rows-only (no SQL oracle);
+    the error bound vs exact is asserted in tests."""
+    from ..stages.sketch import approx_distinct
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    docs = _read(sf_dir, "documents", ["source"])
+    rows = [
+        {"column": "events.user_id", **approx_distinct(ev, "user_id")},
+        {"column": "documents.source", **approx_distinct(docs, "source")},
+    ]
+    return pd.DataFrame(rows)
+
+
 # ------------------------------------------------------------------ catalog
 
 
@@ -1403,6 +1492,10 @@ def queries():
         "q37_clean_corpus": q37_clean_corpus,
         "q38_dedup_survivors": q38_dedup_survivors,
         "q39_token_histogram": q39_token_histogram,
+        "q40_asof_join": q40_asof_join,
+        "q41_value_percentiles": q41_value_percentiles,
+        "q42_sliding_window": q42_sliding_window,
+        "q43_hll_distinct": q43_hll_distinct,
     }
 
 
@@ -1434,4 +1527,7 @@ def oracle_sql():
         "q37_clean_corpus": _q37_sql(),
         "q38_dedup_survivors": SQL_Q38,
         "q39_token_histogram": SQL_Q39,
+        "q40_asof_join": SQL_Q40,
+        "q41_value_percentiles": SQL_Q41,
+        "q42_sliding_window": SQL_Q42,
     }

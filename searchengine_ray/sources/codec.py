@@ -46,13 +46,16 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
-def decode_image(data: bytes) -> tuple[np.ndarray, str]:
-    """encoded bytes → ((h, w, 3) uint8 pixels, fmt)."""
-    magic, (w, h) = data[:4], struct.unpack("<ii", data[4:12])
+def decode_image(data) -> tuple[np.ndarray, str]:
+    """encoded bytes (or any buffer, e.g. a zero-copy ``pa.Buffer``)
+    → ((h, w, 3) uint8 pixels, fmt).  No intermediate byte copies: the
+    payload window is a memoryview; bmp pixels alias the input buffer."""
+    view = memoryview(data)
+    magic, (w, h) = bytes(view[:4]), struct.unpack_from("<ii", view, 4)
     fmt = _FMT_OF.get(magic)
     if fmt is None:
         raise ValueError(f"bad magic {magic!r}")
-    payload = data[12:]
+    payload = view[12:]
     if fmt != "bmp":
         payload = zlib.decompress(payload)
     return np.frombuffer(payload, np.uint8).reshape(h, w, 3), fmt
@@ -65,29 +68,35 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
-_GRAY_W = np.array([0.299, 0.587, 0.114], np.float32)
+_GRAY_W = np.array([0.299, 0.587, 0.114], np.float64)
 
 
 def phash64(pixels: np.ndarray) -> int:
     """8×8 average-hash of the grayscale downsample → signed int64.
 
     Deterministic, vector-friendly; exact-duplicate payloads collide.
-    Tile sums via two ``np.add.reduceat`` passes (no full integral
-    image) and ``np.packbits`` bit packing — ~4× faster per image than
-    the cumsum/loop formulation, same tiling.
+    Tile sums run directly on the uint8 pixels via two
+    ``np.add.reduceat(..., dtype=int64)`` passes — exact integer
+    channel sums, grayscale-weighted only at the 8×8×3 tile level.  No
+    image-sized float temporaries: under a saturated multi-core fetch
+    pool the old per-pixel float32/float64 casts (~1 MB of writes per
+    192-256 px image) were pure memory-bandwidth tax.  Same bits as
+    the per-pixel formulation (weighting and tile-averaging commute;
+    verified over the synth corpus in tests).
     """
-    gray = pixels.astype(np.float32) @ _GRAY_W
-    h, w = gray.shape
+    h, w = pixels.shape[:2]
     if h < 8 or w < 8:  # degenerate tiles — rare tiny images
-        gray = np.pad(gray, ((0, max(0, 8 - h)), (0, max(0, 8 - w))))
-        h, w = gray.shape
+        pixels = np.pad(
+            pixels, ((0, max(0, 8 - h)), (0, max(0, 8 - w)), (0, 0))
+        )
+        h, w = pixels.shape[:2]
     # box-downsample to 8×8 by splitting into (almost) equal tiles
     ys = (np.arange(8) * h) // 8
     xs = (np.arange(8) * w) // 8
-    rows = np.add.reduceat(gray.astype(np.float64), ys, axis=0)
-    sums = np.add.reduceat(rows, xs, axis=1)
+    rows = np.add.reduceat(pixels, ys, axis=0, dtype=np.int64)
+    sums = np.add.reduceat(rows, xs, axis=1)  # (8, 8, 3) exact sums
     areas = np.outer(np.diff(np.r_[ys, h]), np.diff(np.r_[xs, w]))
-    cells = sums / np.maximum(areas, 1)
+    cells = (sums @ _GRAY_W) / np.maximum(areas, 1)
     bits = (cells > cells.mean()).ravel()
     val = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return val - (1 << 64) if val >= (1 << 63) else val  # as signed int64

@@ -188,7 +188,10 @@ class FetchDecode:
             )
             short = shorten_html(html)
             links = extract_links(short, host, https)
-            data = self.img_bytes[img].as_py()
+            # zero-copy window into the broadcast images table (one
+            # plasma-backed physical copy per node); pixel bytes are
+            # hashed through buffer views — no per-page byte copies
+            data = self.img_bytes[img].as_buffer()
             pixels, fmt = decode_image(data)
             ph = phash64(pixels)
             ok = (
@@ -198,7 +201,7 @@ class FetchDecode:
             )
             if ok and self.truth_sha is not None:
                 ok = (
-                    hashlib.sha256(pixels.tobytes()).hexdigest()
+                    hashlib.sha256(pixels.reshape(-1).data).hexdigest()
                     == self.truth_sha[img]
                 )
             fseq = int(fseqs[i])
@@ -215,9 +218,10 @@ class FetchDecode:
             out["phash"].append(ph)
             out["invariant_ok"].append(bool(ok))
             out["links"].append(links)
-            pay["fetch_seq"].append(fseq)
-            pay["image_id"].append(store.image_ids[row])
-            pay["bytes"].append(data)
+            if self.payload_dir:
+                pay["fetch_seq"].append(fseq)
+                pay["image_id"].append(store.image_ids[row])
+                pay["bytes"].append(data.to_pybytes())
             raw_links.extend(links)
             link_seq.extend([fseq] * len(links))
             link_pos.extend(range(len(links)))
