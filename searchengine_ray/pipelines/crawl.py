@@ -54,6 +54,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -330,6 +331,7 @@ class RayCrawl:
         self._unappended: list = []  # admitted-table refs awaiting append
         self._prefetched_dequeue: tuple | None = None
         self._seed_stats_ref = None
+        self._prof: list[dict] = []  # CRAWL_PROFILE=1 per-epoch timings
 
     # ------------------------------------------------------------ seeding
     def admit_seeds(self, seeds: list[str]) -> None:
@@ -401,6 +403,8 @@ class RayCrawl:
         cfg = self.cfg
         if cfg.max_fetches is not None and self.fetch_seq >= cfg.max_fetches:
             return False
+        prof = os.environ.get("CRAWL_PROFILE") == "1"
+        t_ep = time.perf_counter() if prof else 0.0
         epoch = self.epoch
         remaining = (
             None if cfg.max_fetches is None else cfg.max_fetches - self.fetch_seq
@@ -454,6 +458,7 @@ class RayCrawl:
             picks = pa.concat_tables(ray.get(futs)).sort_by(
                 [("t_sched", "ascending"), ("enqueue_seq", "ascending")]
             )
+        t_picks = time.perf_counter() if prof else 0.0
         n = len(picks)
         if n == 0:
             return False  # empty frontier (dequeue is the emptiness probe)
@@ -466,6 +471,7 @@ class RayCrawl:
             picks.select(["fetch_seq", "url", "url_hash", "t_sched", "epoch"])
         )
         ok_picks = picks.filter(pc.greater_equal(picks["content_row"], 0))
+        t_prep = time.perf_counter() if prof else 0.0
         stat_refs: list = []
         content_refs: list = []
         if len(ok_picks):
@@ -545,6 +551,10 @@ class RayCrawl:
                 # rounds per actor.  4 rounds beat 2 consistently at 32
                 # CPUs (smaller last-wave tail before the next dequeue
                 # can fire) and are neutral at 8 — sweep in BASELINE.md.
+                # A geometrically-decaying (LPT-style) schedule was A/B
+                # tested and LOST to uniform at 32 CPUs (~+1.2 s/run,
+                # interleaved fresh processes) — the larger first-wave
+                # chunks straggle worse than the uniform tail saves.
                 waves = int(os.environ.get("CRAWL_WAVES", "4"))
                 chunk = max(
                     64, (len(ok_picks) + nf * waves - 1) // (nf * waves)
@@ -563,6 +573,7 @@ class RayCrawl:
                             [k for _c, k in wave], first_of_epoch=(w0 == 0)
                         )
                     )
+        t_submit = time.perf_counter() if prof else 0.0
         self._flush_rollback()
         # prefetch the NEXT epoch's dequeue, carrying this epoch's
         # deferred appends in the same task (one boundary hop): the task
@@ -594,6 +605,18 @@ class RayCrawl:
         # content metadata stays as refs — resolved off the epoch
         # critical path (result(), or write_checkpoint below)
         self._content_parts.append((epoch, content_refs))
+        if prof:
+            t_end = time.perf_counter()
+            self._prof.append(
+                {
+                    "epoch": epoch,
+                    "picked": n,
+                    "picks_wait_ms": round((t_picks - t_ep) * 1e3, 2),
+                    "prep_ms": round((t_prep - t_picks) * 1e3, 2),
+                    "submit_ms": round((t_submit - t_prep) * 1e3, 2),
+                    "tail_ms": round((t_end - t_submit) * 1e3, 2),
+                }
+            )
         self.epoch += 1
         if self.checkpoint:
             self.write_checkpoint()
@@ -902,7 +925,13 @@ class _SeenActor:
         self.shard = SeenShard.from_state(state)
 
 
-_DISPATCH_ENV = ("CRAWL_DISPATCH", "CRAWL_WAVES", "CRAWL_MIN_CHUNK", "CRAWL_COORD")
+_DISPATCH_ENV = (
+    "CRAWL_DISPATCH",
+    "CRAWL_WAVES",
+    "CRAWL_MIN_CHUNK",
+    "CRAWL_COORD",
+    "CRAWL_PROFILE",
+)
 
 
 class _EngineHost:
@@ -937,6 +966,9 @@ class _EngineHost:
 
     def result(self) -> EngineResult:
         return self.eng.result()
+
+    def profile(self) -> list[dict]:
+        return self.eng._prof
 
     def actor_handles(self) -> tuple:
         return (
@@ -1000,6 +1032,9 @@ class RemoteCrawl:
 
     def result(self) -> EngineResult:
         return self.ray.get(self._host.result.remote())
+
+    def profile(self) -> list[dict]:
+        return self.ray.get(self._host.profile.remote())
 
     def actor_handles(self) -> tuple:
         if self._handles is None:
