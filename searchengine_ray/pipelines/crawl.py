@@ -237,6 +237,27 @@ class _Sequencer:
         return final, rb_tbl, stats
 
 
+def _merge_picks(fetch_seq_start: int, epoch: int, *tables):
+    """Merge the per-host-actor dequeue tables into the epoch's globally
+    ordered picks — off the epoch loop's process.  Returns (order part,
+    fetchable picks, (n, n_ok)); the first two stay in plasma (the
+    driver only pulls the tiny count tuple), so pick tables never
+    round-trip through the epoch-loop process before fetch submission —
+    at 32 CPUs that round-trip (get + sort + re-put of ~30k rows) was
+    ~0.2-0.3 s of full-pool idle per epoch boundary."""
+    picks = pa.concat_tables(tables).sort_by(
+        [("t_sched", "ascending"), ("enqueue_seq", "ascending")]
+    )
+    n = len(picks)
+    fseq = np.arange(fetch_seq_start, fetch_seq_start + n, dtype=np.int64)
+    picks = picks.append_column("fetch_seq", pa.array(fseq)).append_column(
+        "epoch", pa.array(np.full(n, epoch, np.int32))
+    )
+    order = picks.select(["fetch_seq", "url", "url_hash", "t_sched", "epoch"])
+    ok = picks.filter(pc.greater_equal(picks["content_row"], 0))
+    return order, ok, (n, len(ok))
+
+
 class RayCrawl:
     def __init__(
         self,
@@ -278,6 +299,7 @@ class RayCrawl:
         self.images_ref = _as_ref(ray, images)
         self.truth_ref = _as_ref(ray, truth)
 
+        self._merge_task = ray.remote(num_cpus=0)(_merge_picks)
         HostActor = ray.remote(num_cpus=0)(HostShards)
         SeenActor = ray.remote(num_cpus=0)(_SeenActor)
         SeqActor = ray.remote(num_cpus=0)(_Sequencer)
@@ -449,32 +471,57 @@ class RayCrawl:
                 picks = pa.table(
                     {k.name: [] for k in PICKS_SCHEMA}, schema=PICKS_SCHEMA
                 )
+            picks_local = picks
         else:
             if pf_futs is not None and pf_epoch == epoch:
                 futs = pf_futs
             else:
                 self._flush_appends()
                 futs = [a.dequeue_epoch.remote(epoch) for a in self.host_actors]
-            picks = pa.concat_tables(ray.get(futs)).sort_by(
-                [("t_sched", "ascending"), ("enqueue_seq", "ascending")]
-            )
+            if not self.checkpoint:
+                # plain path: merge/sort/fetch_seq assignment happen in a
+                # remote task — only the (n, n_ok) tuple lands here, the
+                # pick tables stay in plasma for the fetch pool to slice
+                order_ref, ok_ref, meta_ref = self._merge_task.options(
+                    num_returns=3
+                ).remote(self.fetch_seq, epoch, *futs)
+                picks_local = None
+                n, n_ok = ray.get(meta_ref)
+            else:
+                # checkpoint runs materialize picks locally — the epoch's
+                # order part feeds the versioned log write below
+                picks_local = pa.concat_tables(ray.get(futs)).sort_by(
+                    [("t_sched", "ascending"), ("enqueue_seq", "ascending")]
+                )
         t_picks = time.perf_counter() if prof else 0.0
-        n = len(picks)
-        if n == 0:
-            return False  # empty frontier (dequeue is the emptiness probe)
-        fseq = np.arange(self.fetch_seq, self.fetch_seq + n, dtype=np.int64)
+        if picks_local is not None:
+            n = len(picks_local)
+            if n == 0:
+                return False  # empty frontier (dequeue is the emptiness probe)
+            fseq = np.arange(self.fetch_seq, self.fetch_seq + n, dtype=np.int64)
+            picks_local = picks_local.append_column(
+                "fetch_seq", pa.array(fseq)
+            ).append_column("epoch", pa.array(np.full(n, epoch, np.int32)))
+            self._order_parts.append(
+                picks_local.select(
+                    ["fetch_seq", "url", "url_hash", "t_sched", "epoch"]
+                )
+            )
+            ok_picks = picks_local.filter(
+                pc.greater_equal(picks_local["content_row"], 0)
+            )
+            n_ok = len(ok_picks)
+            picks_ref = ray.put(ok_picks) if n_ok else None
+        else:
+            if n == 0:
+                return False  # empty frontier (dequeue is the emptiness probe)
+            self._order_parts.append(order_ref)
+            picks_ref = ok_ref  # already one plasma object, sliced in-actor
         self.fetch_seq += n
-        picks = picks.append_column("fetch_seq", pa.array(fseq)).append_column(
-            "epoch", pa.array(np.full(n, epoch, np.int32))
-        )
-        self._order_parts.append(
-            picks.select(["fetch_seq", "url", "url_hash", "t_sched", "epoch"])
-        )
-        ok_picks = picks.filter(pc.greater_equal(picks["content_row"], 0))
         t_prep = time.perf_counter() if prof else 0.0
         stat_refs: list = []
         content_refs: list = []
-        if len(ok_picks):
+        if n_ok:
             # Round-robin chunk waves over the persistent fetch pool;
             # each actor returns (content metadata, candidate chunk) as
             # TWO object refs — content comes back to the driver, the
@@ -482,7 +529,6 @@ class RayCrawl:
             # Everything below is submission-only; the fetch pool,
             # the admission actors, and the driver all run concurrently.
             nf = len(self.fetch_actors)
-            picks_ref = ray.put(ok_picks)  # one plasma object, sliced in-actor
             mode = os.environ.get("CRAWL_DISPATCH", "static")
             if mode == "dynamic":
                 # work-stealing dispatch: guided (decaying) spans; each
@@ -492,7 +538,7 @@ class RayCrawl:
                 # only when per-actor speed skew is large.
                 min_chunk = int(os.environ.get("CRAWL_MIN_CHUNK", "128"))
                 spans = []
-                i, rem = 0, len(ok_picks)
+                i, rem = 0, n_ok
                 while rem > 0:
                     c = min(rem, max(min_chunk, rem // (2 * nf)))
                     spans.append((i, c))
@@ -557,13 +603,13 @@ class RayCrawl:
                 # chunks straggle worse than the uniform tail saves.
                 waves = int(os.environ.get("CRAWL_WAVES", "4"))
                 chunk = max(
-                    64, (len(ok_picks) + nf * waves - 1) // (nf * waves)
+                    64, (n_ok + nf * waves - 1) // (nf * waves)
                 )
                 rets = [
                     self.fetch_actors[(i // chunk) % nf]
                     .__call__.options(num_returns=2)
-                    .remote(picks_ref, i, min(chunk, len(ok_picks) - i))
-                    for i in range(0, len(ok_picks), chunk)
+                    .remote(picks_ref, i, min(chunk, n_ok - i))
+                    for i in range(0, n_ok, chunk)
                 ]
                 for w0 in range(0, len(rets), nf):
                     wave = rets[w0 : w0 + nf]
@@ -647,8 +693,15 @@ class RayCrawl:
     def warmup(self) -> None:
         """Block until every fetch actor finished deserializing its
         broadcast state — otherwise each early epoch's gather barrier
-        stalls on whichever actor is still cold."""
-        self.ray.get([a.ready.remote() for a in self.fetch_actors])
+        stalls on whichever actor is still cold.  Also spins up the
+        worker process for the picks-merge task (a cold first call costs
+        ~1 s of full-pool idle on epoch 0)."""
+        from ..state.host import PICKS_SCHEMA
+
+        empty = pa.table({k.name: [] for k in PICKS_SCHEMA}, schema=PICKS_SCHEMA)
+        merge_warm = self._merge_task.options(num_returns=3).remote(0, -1, empty)
+        self.ray.get([a.warm.remote() for a in self.fetch_actors])
+        self.ray.get(merge_warm[2])
 
     def run(self, max_epochs: int | None = None) -> EngineResult:
         self.warmup()
@@ -716,6 +769,12 @@ class RayCrawl:
             ray.get(self._append_refs)
             self._append_refs = []
         self._resolve_content()
+        # plain-path epochs store the order part as the merge task's
+        # object ref (never pulled during the run) — resolve them now
+        self._order_parts = [
+            ray.get(p) if isinstance(p, ray.ObjectRef) else p
+            for p in self._order_parts
+        ]
         res = EngineResult()
         res.epochs = self.epoch
         res.crawl_order = (

@@ -151,6 +151,33 @@ class FetchDecode:
         the pool once up front instead."""
         return True
 
+    def warm(self) -> bool:
+        """Deep warmup: exercise the full fetch+decode path once and
+        touch every page of the plasma-backed images buffer.  Without
+        this, epoch 0 pays ~1 s of first-call costs (page faults on the
+        shared image bytes, lazy kernel paths) on the crawl's critical
+        path — measured as 1.19 s wall for 0.19 s of epoch-0 work."""
+        chunks = getattr(self.img_bytes, "chunks", [self.img_bytes])
+        for chunk in chunks:
+            for b in chunk.buffers():
+                if b is not None and len(b):
+                    int(np.frombuffer(b, np.uint8)[:: 4096].sum())
+        batch = pa.table(
+            {
+                "fetch_seq": pa.array([0], pa.int64()),
+                "epoch": pa.array([0], pa.int32()),
+                "url": pa.array([self.store.urls[0]], pa.string()),
+                "url_hash": pa.array([0], pa.uint64()),
+                "content_row": pa.array([0], pa.int64()),
+            }
+        )
+        saved, self.payload_dir = self.payload_dir, None
+        try:
+            self.__call__(batch)
+        finally:
+            self.payload_dir = saved
+        return True
+
     def __call__(
         self, batch: pa.Table, start: int | None = None, length: int | None = None
     ) -> tuple[pa.Table, pa.Table]:
