@@ -237,25 +237,61 @@ class _Sequencer:
         return final, rb_tbl, stats
 
 
-def _merge_picks(fetch_seq_start: int, epoch: int, *tables):
-    """Merge the per-host-actor dequeue tables into the epoch's globally
-    ordered picks — off the epoch loop's process.  Returns (order part,
-    fetchable picks, (n, n_ok)); the first two stay in plasma (the
-    driver only pulls the tiny count tuple), so pick tables never
-    round-trip through the epoch-loop process before fetch submission —
-    at 32 CPUs that round-trip (get + sort + re-put of ~30k rows) was
-    ~0.2-0.3 s of full-pool idle per epoch boundary."""
-    picks = pa.concat_tables(tables).sort_by(
-        [("t_sched", "ascending"), ("enqueue_seq", "ascending")]
-    )
-    n = len(picks)
-    fseq = np.arange(fetch_seq_start, fetch_seq_start + n, dtype=np.int64)
-    picks = picks.append_column("fetch_seq", pa.array(fseq)).append_column(
-        "epoch", pa.array(np.full(n, epoch, np.int32))
-    )
-    order = picks.select(["fetch_seq", "url", "url_hash", "t_sched", "epoch"])
-    ok = picks.filter(pc.greater_equal(picks["content_row"], 0))
-    return order, ok, (n, len(ok))
+class _Dispatcher:
+    """Merge+dispatch actor: turns the per-host-actor dequeue tables
+    into the epoch's globally ordered picks AND submits the fetch chunk
+    tasks itself, chained directly behind the dequeue refs — the fetch
+    pool starts the epoch before the engine-loop process even wakes.
+    The engine pulls only ((n, n_ok), [(content_ref, key_ref), ...])
+    per epoch; the order part and the pick table stay in plasma.
+
+    An actor (not a task) so the chunk-task return refs it owns live
+    for the engine's lifetime (a reused task worker could be reaped
+    while content refs are still pending resolution at result())."""
+
+    def __init__(self, fetch_actors):
+        self.fetch_actors = fetch_actors
+
+    def merge_dispatch(
+        self,
+        fetch_seq_start: int,
+        epoch: int,
+        waves: int,
+        dispatch: bool,
+        *tables,
+    ):
+        import ray
+
+        picks = pa.concat_tables(tables).sort_by(
+            [("t_sched", "ascending"), ("enqueue_seq", "ascending")]
+        )
+        n = len(picks)
+        fseq = np.arange(fetch_seq_start, fetch_seq_start + n, dtype=np.int64)
+        picks = picks.append_column("fetch_seq", pa.array(fseq)).append_column(
+            "epoch", pa.array(np.full(n, epoch, np.int32))
+        )
+        order = picks.select(
+            ["fetch_seq", "url", "url_hash", "t_sched", "epoch"]
+        )
+        ok = picks.filter(pc.greater_equal(picks["content_row"], 0))
+        n_ok = len(ok)
+        rets = []
+        if n_ok:
+            ok_ref = ray.put(ok)  # one plasma object, sliced in-actor
+            if not dispatch:
+                # dynamic-dispatch mode: the engine loop submits spans
+                # itself — hand it the pick table's ref instead
+                rets = ok_ref
+            else:
+                nf = len(self.fetch_actors)
+                chunk = max(64, (n_ok + nf * waves - 1) // (nf * waves))
+                rets = [
+                    self.fetch_actors[(i // chunk) % nf]
+                    .__call__.options(num_returns=2)
+                    .remote(ok_ref, i, min(chunk, n_ok - i))
+                    for i in range(0, n_ok, chunk)
+                ]
+        return order, ((n, n_ok), rets)
 
 
 class RayCrawl:
@@ -299,7 +335,6 @@ class RayCrawl:
         self.images_ref = _as_ref(ray, images)
         self.truth_ref = _as_ref(ray, truth)
 
-        self._merge_task = ray.remote(num_cpus=0)(_merge_picks)
         HostActor = ray.remote(num_cpus=0)(HostShards)
         SeenActor = ray.remote(num_cpus=0)(_SeenActor)
         SeqActor = ray.remote(num_cpus=0)(_Sequencer)
@@ -342,6 +377,9 @@ class RayCrawl:
             )
             for _ in range(n_fetch_actors)
         ]
+        self.disp_actor = ray.remote(num_cpus=0)(_Dispatcher).remote(
+            self.fetch_actors
+        )
         self.fetch_seq = 0
         self.epoch = 0
         self._order_parts: list[pa.Table] = []
@@ -479,14 +517,20 @@ class RayCrawl:
                 self._flush_appends()
                 futs = [a.dequeue_epoch.remote(epoch) for a in self.host_actors]
             if not self.checkpoint:
-                # plain path: merge/sort/fetch_seq assignment happen in a
-                # remote task — only the (n, n_ok) tuple lands here, the
-                # pick tables stay in plasma for the fetch pool to slice
-                order_ref, ok_ref, meta_ref = self._merge_task.options(
-                    num_returns=3
-                ).remote(self.fetch_seq, epoch, *futs)
+                # plain path: merge/sort/fetch_seq assignment AND the
+                # fetch chunk submission happen in the dispatcher actor,
+                # chained behind the dequeue refs — the fetch pool is
+                # already working before this process wakes; only the
+                # (n, n_ok) tuple plus the chunk refs land here
+                mode = os.environ.get("CRAWL_DISPATCH", "static")
+                waves = int(os.environ.get("CRAWL_WAVES", "4"))
+                order_ref, payload_ref = self.disp_actor.merge_dispatch.options(
+                    num_returns=2
+                ).remote(
+                    self.fetch_seq, epoch, waves, mode != "dynamic", *futs
+                )
                 picks_local = None
-                n, n_ok = ray.get(meta_ref)
+                (n, n_ok), rets_or_ref = ray.get(payload_ref)
             else:
                 # checkpoint runs materialize picks locally — the epoch's
                 # order part feeds the versioned log write below
@@ -516,7 +560,9 @@ class RayCrawl:
             if n == 0:
                 return False  # empty frontier (dequeue is the emptiness probe)
             self._order_parts.append(order_ref)
-            picks_ref = ok_ref  # already one plasma object, sliced in-actor
+            # dynamic mode receives the pick table's plasma ref; static
+            # mode receives the already-submitted chunk task refs
+            picks_ref = rets_or_ref if not isinstance(rets_or_ref, list) else None
         self.fetch_seq += n
         t_prep = time.perf_counter() if prof else 0.0
         stat_refs: list = []
@@ -601,16 +647,20 @@ class RayCrawl:
                 # tested and LOST to uniform at 32 CPUs (~+1.2 s/run,
                 # interleaved fresh processes) — the larger first-wave
                 # chunks straggle worse than the uniform tail saves.
-                waves = int(os.environ.get("CRAWL_WAVES", "4"))
-                chunk = max(
-                    64, (n_ok + nf * waves - 1) // (nf * waves)
-                )
-                rets = [
-                    self.fetch_actors[(i // chunk) % nf]
-                    .__call__.options(num_returns=2)
-                    .remote(picks_ref, i, min(chunk, n_ok - i))
-                    for i in range(0, n_ok, chunk)
-                ]
+                # On the plain path the dispatcher actor has ALREADY
+                # submitted these chunk tasks (same spans, same actor
+                # round-robin); only the ladder waves are grouped here.
+                if picks_local is None:
+                    rets = rets_or_ref
+                else:
+                    waves = int(os.environ.get("CRAWL_WAVES", "4"))
+                    chunk = max(64, (n_ok + nf * waves - 1) // (nf * waves))
+                    rets = [
+                        self.fetch_actors[(i // chunk) % nf]
+                        .__call__.options(num_returns=2)
+                        .remote(picks_ref, i, min(chunk, n_ok - i))
+                        for i in range(0, n_ok, chunk)
+                    ]
                 for w0 in range(0, len(rets), nf):
                     wave = rets[w0 : w0 + nf]
                     content_refs.extend(c for c, _k in wave)
@@ -699,9 +749,11 @@ class RayCrawl:
         from ..state.host import PICKS_SCHEMA
 
         empty = pa.table({k.name: [] for k in PICKS_SCHEMA}, schema=PICKS_SCHEMA)
-        merge_warm = self._merge_task.options(num_returns=3).remote(0, -1, empty)
+        disp_warm = self.disp_actor.merge_dispatch.options(num_returns=2).remote(
+            0, -1, 1, True, empty
+        )
         self.ray.get([a.warm.remote() for a in self.fetch_actors])
-        self.ray.get(merge_warm[2])
+        self.ray.get(disp_warm[1])
 
     def run(self, max_epochs: int | None = None) -> EngineResult:
         self.warmup()

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -144,6 +145,18 @@ class FetchDecode:
         self.truth_sha = truth.column("pixels_sha256").to_pylist() if truth else None
         self.shard_count = shard_count
         self.payload_dir = payload_dir
+        # lifetime busy counters (~0 cost; read via stats() for the
+        # bench's utilization probes)
+        self._calls = 0
+        self._pages = 0
+        self._busy_s = 0.0
+
+    def stats(self) -> dict:
+        return {
+            "calls": self._calls,
+            "pages": self._pages,
+            "busy_s": round(self._busy_s, 3),
+        }
 
     def ready(self) -> bool:
         """Warmup barrier: constructing 20+ actors lazily means every
@@ -188,6 +201,7 @@ class FetchDecode:
         and passes (ref, start, length) per chunk — the actor slices
         its window zero-copy instead of the driver serializing one
         slice per chunk."""
+        _t0 = time.perf_counter()
         if start is not None:
             batch = batch.slice(start, length)
         store = self.store
@@ -266,4 +280,7 @@ class FetchDecode:
                 use_dictionary=False,
             )
         cand = make_candidates(raw_links, link_seq, link_pos, self.shard_count)
+        self._calls += 1
+        self._pages += len(content)
+        self._busy_s += time.perf_counter() - _t0
         return content, cand
