@@ -1431,6 +1431,33 @@ FROM events ORDER BY event_id
 """
 
 
+def q44_range_join(sf_dir: str):
+    """Interval (range) join: every (purchase, view) pair of the same
+    user with the view in the hour preceding the purchase
+    (stages/temporal.py range_join — equi-key + range-predicate
+    decomposition; Ray Data has no non-equi join)."""
+    from ..stages.temporal import range_join
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = range_join(
+        ds, "purchase", "view", window_us=3_600_000_000
+    ).to_pandas()
+    return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+
+
+SQL_Q44 = """
+SELECT p.event_id AS left_id, v.event_id AS right_id, p.user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS left_ts_us,
+       CAST(epoch_us(v.ts) AS BIGINT) AS right_ts_us,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM events p JOIN events v
+  ON v.user_id = p.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+ORDER BY left_id, right_id
+"""
+
+
 def q43_hll_distinct(sf_dir: str):
     """Approximate distinct counts via HyperLogLog partials (p=12,
     ~1.6 % s.e.) for users, documents sources, and event props —
@@ -1496,6 +1523,7 @@ def queries():
         "q41_value_percentiles": q41_value_percentiles,
         "q42_sliding_window": q42_sliding_window,
         "q43_hll_distinct": q43_hll_distinct,
+        "q44_range_join": q44_range_join,
     }
 
 
@@ -1530,4 +1558,5 @@ def oracle_sql():
         "q40_asof_join": SQL_Q40,
         "q41_value_percentiles": SQL_Q41,
         "q42_sliding_window": SQL_Q42,
+        "q44_range_join": SQL_Q44,
     }

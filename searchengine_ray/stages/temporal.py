@@ -64,7 +64,7 @@ def asof_join(
     def project(b: pd.DataFrame) -> pd.DataFrame:
         m = b["event_type"].isin([left_type, right_type])
         b = b.loc[m, ["event_id", "ts", by, "event_type"]].copy()
-        b["ts_us"] = b["ts"].astype("int64")
+        b["ts_us"] = b["ts"].astype("datetime64[us]").astype("int64")
         return b.drop(columns=["ts"])
 
     def join_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -137,7 +137,7 @@ def preceding_window_count(
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
         b = b[["event_id", "ts", by]].copy()
-        b["ts_us"] = b["ts"].astype("int64")
+        b["ts_us"] = b["ts"].astype("datetime64[us]").astype("int64")
         return b.drop(columns=["ts"])
 
     def count_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -241,6 +241,113 @@ def group_percentiles(
         .groupby("part")
         .map_groups(
             lambda g: finalize(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def range_join(
+    events_ds,
+    left_type: str,
+    right_type: str,
+    window_us: int,
+    by: str = "user_id",
+    npart: int | None = None,
+):
+    """Interval (range) join: every (left, right) event pair of the
+    same ``by`` entity with ``right.ts in [left.ts - window_us,
+    left.ts)`` — e.g. each purchase joined to ALL of the user's views
+    in the preceding hour.  Ray Data has no non-equi join; this is the
+    equi-key + range-predicate decomposition:
+
+    hash-partition both sides by entity → per partition sort the right
+    side by (entity, ts), normalize each entity run to a composite key
+    ``run_index * stride + (ts - run_base)`` (stride > run span +
+    window, so runs cannot bleed), then TWO ``np.searchsorted`` calls
+    give every left row's matching right slice and one
+    ``np.repeat``/``arange`` expansion emits the pairs — no per-row or
+    per-entity Python.  Output size is data-dependent (pairs), which
+    is why the window must be bounded; the partitioning assumption is
+    the module's usual one (an entity's rows co-locate).
+
+    Returns (left_id, right_id, user_id, left_ts_us, right_ts_us,
+    gap_us), one row per qualifying pair.
+    """
+    npart = npart or _ncpus()
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].isin([left_type, right_type])
+        b = b.loc[m, ["event_id", "ts", by, "event_type"]].copy()
+        b["ts_us"] = b["ts"].astype("datetime64[us]").astype("int64")
+        b["is_left"] = (b["event_type"] == left_type).astype(np.int8)
+        return b.drop(columns=["ts", "event_type"])
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["is_left"] == 1]
+        right = g[g["is_left"] == 0].sort_values(
+            [by, "ts_us", "event_id"], kind="mergesort"
+        )
+        empty = pd.DataFrame(
+            {
+                "left_id": np.array([], np.int64),
+                "right_id": np.array([], np.int64),
+                by: np.array([], np.int64),
+                "left_ts_us": np.array([], np.int64),
+                "right_ts_us": np.array([], np.int64),
+                "gap_us": np.array([], np.int64),
+            }
+        )
+        if not len(left) or not len(right):
+            return empty
+        ent_r = right[by].to_numpy(np.int64)
+        ts_r = right["ts_us"].to_numpy(np.int64)
+        id_r = right["event_id"].to_numpy(np.int64)
+        starts = np.r_[0, np.nonzero(np.diff(ent_r))[0] + 1]
+        run_of = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(ent_r)]))
+        run_base = ts_r[starts]
+        d = ts_r - run_base[run_of]
+        span = int(d.max())
+        stride = span + window_us + 2
+        key_r = run_of * stride + d
+
+        ent_l = left[by].to_numpy(np.int64)
+        ts_l = left["ts_us"].to_numpy(np.int64)
+        id_l = left["event_id"].to_numpy(np.int64)
+        run_users = ent_r[starts]
+        j = np.searchsorted(run_users, ent_l)
+        ok = (j < len(run_users)) & (run_users[np.minimum(j, len(run_users) - 1)] == ent_l)
+        j, ts_l, id_l, ent_l = j[ok], ts_l[ok], id_l[ok], ent_l[ok]
+        if not len(j):
+            return empty
+        cap = span + 1  # clamp so out-of-run windows can't bleed runs
+        d_hi = np.clip(ts_l - run_base[j], 0, cap)
+        d_lo = np.clip(ts_l - window_us - run_base[j], 0, cap)
+        lo = np.searchsorted(key_r, j * stride + d_lo, side="left")
+        hi = np.searchsorted(key_r, j * stride + d_hi, side="left")  # strict < left.ts
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        lrep = np.repeat(np.arange(len(j)), cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ridx = np.repeat(lo, cnt) + offs
+        return pd.DataFrame(
+            {
+                "left_id": id_l[lrep],
+                "right_id": id_r[ridx],
+                by: ent_l[lrep],
+                "left_ts_us": ts_l[lrep],
+                "right_ts_us": ts_r[ridx],
+                "gap_us": ts_l[lrep] - ts_r[ridx],
+            }
+        )
+
+    return (
+        events_ds.map_batches(project, batch_format="pandas")
+        .map_batches(_with_part(by, npart), batch_format="pandas")
+        .groupby("part")
+        .map_groups(
+            lambda g: join_part(g.drop(columns=["part"])),
             batch_format="pandas",
         )
     )

@@ -50,12 +50,44 @@ def test_asof_join_matches_bruteforce(ray_session):
                     p.event_id,
                     p.user_id,
                     last.event_id,
-                    int(p.ts.value - last.ts.value),
+                    int((p.ts - last.ts) / pd.Timedelta(microseconds=1)),
                 )
             )
     got = list(
         zip(out.left_id, out.user_id, out.right_id, out.gap_us)
     )
+    assert got == want
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    import ray
+
+    from searchengine_ray.stages.temporal import range_join
+
+    df = _events()
+    w = 3 * 86400 * 1_000_000  # 3 days: dense enough for many pairs
+    out = (
+        range_join(ray.data.from_pandas(df), "purchase", "view", w, npart=5)
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for _, p_ in df[df.event_type == "purchase"].iterrows():
+        v = df[
+            (df.event_type == "view")
+            & (df.user_id == p_.user_id)
+            & (df.ts < p_.ts)
+            & (df.ts >= p_.ts - pd.Timedelta(microseconds=w))
+        ].sort_values("event_id")
+        for _, r_ in v.iterrows():
+            want.append(
+                (p_.event_id, r_.event_id, p_.user_id,
+                 int((p_.ts - r_.ts) / pd.Timedelta(microseconds=1)))
+            )
+    want.sort()
+    got = list(zip(out.left_id, out.right_id, out.user_id, out.gap_us))
+    assert len(got) > 100  # fixture sanity: the window must bind densely
     assert got == want
 
 
@@ -71,9 +103,9 @@ def test_preceding_window_matches_bruteforce(ray_session):
         .to_pandas()
         .set_index("event_id")["n_window"]
     )
-    us = df["ts"].astype("int64")
+    us = df["ts"].astype("datetime64[us]").astype("int64")
     for _, r in df.sample(200, random_state=0).iterrows():
-        t = r.ts.value
+        t = int(us.loc[r.name])
         n = (
             (df.user_id == r.user_id) & (us >= t - w) & (us <= t)
         ).sum()
