@@ -58,6 +58,9 @@ QUERY_NAMES = [
     "q22_inverted_index",
     "q26_brand_volume",
     "q27_best_order_per_customer",
+    "q40_asof_join",
+    "q41_value_percentiles",
+    "q44_range_join",
 ]
 
 
