@@ -1431,6 +1431,119 @@ FROM events ORDER BY event_id
 """
 
 
+def q45_tfidf_terms(sf_dir: str):
+    """Distinctive terms per source: integer-exact tf/df scoring
+    (score = tf * 1e9 // df, a monotone idf transform that is
+    hash-stable vs SQL — no float log), top-5 words per source.
+
+    Shape: per-batch partial (source, word, tf) + (word, df) counts
+    (each doc lives in exactly one batch, so batch-local distinct-doc
+    counts sum to exact global df) → two Ray groupby Sums → native
+    hash join tf×df on word → per-source vectorized top-k.  The
+    vocabulary-sized tables never land on the driver; only the
+    5-per-source result does."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = tx.tokenize_series(b["text"])
+        rows = pd.DataFrame(
+            {
+                "source": b["source"].repeat(toks.str.len()).to_numpy(),
+                "word": np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks]
+                )
+                if len(toks)
+                else np.array([], object),
+            }
+        )
+        tf = (
+            rows.groupby(["source", "word"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        # df partial: distinct docs containing the word, within batch
+        dfp = (
+            pd.DataFrame({"word": toks.map(set).explode().dropna()})
+            .groupby("word", as_index=False)
+            .size()
+            .rename(columns={"size": "df"})
+        )
+        tf["df"] = np.int64(0)
+        dfp["tf"] = np.int64(0)
+        dfp["source"] = ""
+        return pd.concat(
+            [tf[["source", "word", "tf", "df"]], dfp[["source", "word", "tf", "df"]]],
+            ignore_index=True,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "word"])
+        .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
+    )
+
+    _EMPTY = pd.DataFrame(
+        {
+            "source": pd.Series([], dtype=object),
+            "word": pd.Series([], dtype=object),
+            "tf": pd.Series([], dtype="int64"),
+            "df": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        # within one word's group: the source == "" row carries the df
+        # total; attach it to every real (source, word, tf) row
+        dftot = int(g.loc[g["source"] == "", "df"].astype("int64").sum())
+        g = g[g["source"] != ""].copy()
+        if not len(g) or dftot == 0:
+            return _EMPTY
+        g["tf"] = g["tf"].astype("int64")
+        g["df"] = np.int64(dftot)
+        g["score"] = g["tf"] * 1_000_000_000 // dftot
+        return g[["source", "word", "tf", "df", "score"]]
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _EMPTY
+        g = g.sort_values(["score", "word"], ascending=[False, True]).head(5)
+        return g[["source", "word", "tf", "df", "score"]]
+
+    out = (
+        agg.groupby("word")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("source")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["source", "word"]).reset_index(drop=True)
+
+
+SQL_Q45 = f"""
+WITH docs AS (
+  SELECT doc_id, source, unnest({_TOKS}) AS word FROM documents
+), tf AS (
+  SELECT source, word, COUNT(*) AS tf FROM docs GROUP BY source, word
+), df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM docs GROUP BY word
+), scored AS (
+  SELECT tf.source, tf.word, CAST(tf.tf AS BIGINT) AS tf,
+         CAST(df.df AS BIGINT) AS df,
+         CAST(tf.tf AS BIGINT) * 1000000000 // CAST(df.df AS BIGINT) AS score,
+         row_number() OVER (PARTITION BY tf.source
+                            ORDER BY CAST(tf.tf AS BIGINT) * 1000000000
+                                     // CAST(df.df AS BIGINT) DESC,
+                                     tf.word ASC) AS rk
+  FROM tf JOIN df USING (word)
+)
+SELECT source, word, tf, df, score FROM scored WHERE rk <= 5
+ORDER BY source, word
+"""
+
+
 def q44_range_join(sf_dir: str):
     """Interval (range) join: every (purchase, view) pair of the same
     user with the view in the hour preceding the purchase
@@ -1524,6 +1637,7 @@ def queries():
         "q42_sliding_window": q42_sliding_window,
         "q43_hll_distinct": q43_hll_distinct,
         "q44_range_join": q44_range_join,
+        "q45_tfidf_terms": q45_tfidf_terms,
     }
 
 
@@ -1559,4 +1673,5 @@ def oracle_sql():
         "q41_value_percentiles": SQL_Q41,
         "q42_sliding_window": SQL_Q42,
         "q44_range_join": SQL_Q44,
+        "q45_tfidf_terms": SQL_Q45,
     }
