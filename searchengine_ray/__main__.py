@@ -113,6 +113,13 @@ def cmd_get(args) -> int:
     return 0
 
 
+def cmd_etl(args) -> int:
+    from .pipelines.export import corpus_etl
+
+    print(json.dumps(corpus_etl(args.sf, args.out)))
+    return 0
+
+
 def cmd_list(args) -> int:
     from .pipelines.queries import oracle_sql, queries
 
@@ -150,6 +157,13 @@ def main(argv=None) -> int:
 
     l = sub.add_parser("list", help="list catalog queries")
     l.set_defaults(fn=cmd_list)
+
+    e = sub.add_parser(
+        "etl", help="resumable corpus ETL (documents -> cleaned parquet parts)"
+    )
+    e.add_argument("--sf", default="/root/testdata/sf0.001")
+    e.add_argument("--out", default="/tmp/corpus_etl")
+    e.set_defaults(fn=cmd_etl)
 
     g = sub.add_parser("get", help="export one crawled page (S12 #get)")
     g.add_argument("url")

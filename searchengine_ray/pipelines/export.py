@@ -1,0 +1,119 @@
+"""Resumable partitioned-output ETL: documents → cleaned corpus.
+
+The charter's sink rule: write partitioned output (one part per input
+fragment) with a per-part commit, so a failed run re-does only the
+uncommitted parts — never one giant file, never a whole-job restart.
+The crawl engine already follows it for payload/log writes
+(``pipelines/crawl.py`` epoch dirs, atomic rename = commit); this is
+the Ray Data-side equivalent for the corpus pipelines.
+
+Unit of work and of commit: one input parquet *fragment* (file ×
+row-group) — the shape that holds at 100 TB, where the input is many
+thousands of files and a resume must skip finished fragments without
+re-reading them.  Each fragment task: read ONLY its row group (column-
+pruned) → clean (q37 semantics: langid + integer-ppm quality gates) →
+write ``part-K.parquet`` via tmp + atomic rename (the commit point).
+Fragments run as parallel Ray tasks (the Dataset API has no per-
+fragment commit; this is the documented raw-task exception).
+
+Cleaning semantics are exactly ``q37_clean_corpus`` (oracle-checked);
+the ETL output additionally keeps the text column — it IS the cleaned
+corpus, not just its ids.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+
+def clean_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """q37 cleaning gate over a batch; keeps text (the corpus payload).
+
+    Shared with the oracle-checked q37 thresholds: English by
+    stopword-profile langid, >= 5 tokens, stopword ratio <= 0.5,
+    mean token length >= 2.0 (integer ppm)."""
+    from ..stages import text as tx
+    from ..stages.text import STOPWORDS
+
+    lang = tx.langid(b)
+    toks = tx.tokenize_series(b["text"])
+    n = toks.str.len().astype("int64")
+    stop = toks.map(lambda t: sum(w in STOPWORDS for w in t)).astype("int64")
+    chars = toks.map(lambda t: sum(len(w) for w in t)).astype("int64")
+    stop_ppm = stop * 1_000_000 // n.clip(lower=1)
+    mean_len_ppm = chars * 1_000_000 // n.clip(lower=1)
+    keep = (
+        (lang["lang_pred"].to_numpy() == "en")
+        & (n.to_numpy() >= 5)
+        & (stop_ppm.to_numpy() <= 500_000)
+        & (mean_len_ppm.to_numpy() >= 2_000_000)
+    )
+    out = b[["doc_id", "text"]].copy()
+    out["n_tokens"] = n
+    out["stopword_ppm"] = stop_ppm
+    out["mean_token_len_ppm"] = mean_len_ppm
+    return out[keep]
+
+
+def _fragments(sf_dir: str) -> list[tuple[str, int]]:
+    """(file, row_group) units over the documents table — the
+    resumable work list.  Deterministic order → stable part ids."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    out = []
+    for f in sorted([path] if os.path.isfile(path) else [
+        os.path.join(path, x) for x in os.listdir(path) if x.endswith(".parquet")
+    ]):
+        for rg in range(pq.ParquetFile(f).num_row_groups):
+            out.append((f, rg))
+    return out
+
+
+def _etl_fragment(file: str, rg: int, out_dir: str, k: int) -> int:
+    """One fragment: row-group read (column-pruned) → clean → atomic
+    part write.  Runs as a Ray task; returns kept-row count."""
+    tbl = pq.ParquetFile(file).read_row_group(rg, columns=["doc_id", "text"])
+    kept = clean_batch(tbl.to_pandas())
+    part = os.path.join(out_dir, f"part-{k:05d}.parquet")
+    tmp = part + ".tmp"
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(kept, preserve_index=False), tmp)
+    os.replace(tmp, part)  # commit point
+    return len(kept)
+
+
+def corpus_etl(sf_dir: str, out_dir: str) -> dict:
+    """Run (or resume) the corpus ETL.  Returns {parts, skipped, rows}.
+
+    A part-K parquet that already exists is a committed fragment —
+    skipped on resume (the atomic rename guarantees no torn parts;
+    a crash mid-write leaves only a ``.tmp`` that is ignored and
+    overwritten)."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    # clear uncommitted garbage from a crashed run: a .tmp is by
+    # definition a torn write (the atomic rename never published it),
+    # and a directory-globbing consumer must never see it
+    for p in os.listdir(out_dir):
+        if p.endswith(".tmp"):
+            os.remove(os.path.join(out_dir, p))
+    frags = _fragments(sf_dir)
+    task = ray.remote(num_cpus=1)(_etl_fragment)
+    futs, skipped = [], 0
+    for k, (f, rg) in enumerate(frags):
+        if os.path.exists(os.path.join(out_dir, f"part-{k:05d}.parquet")):
+            skipped += 1
+            continue
+        futs.append(task.remote(f, rg, out_dir, k))
+    written = sum(ray.get(futs)) if futs else 0
+    total = sum(
+        pq.ParquetFile(os.path.join(out_dir, p)).metadata.num_rows
+        for p in sorted(os.listdir(out_dir))
+        if p.startswith("part-") and p.endswith(".parquet")
+    )
+    return {"parts": len(frags), "skipped": skipped,
+            "rows_written": written, "rows_total": total}
