@@ -1431,6 +1431,71 @@ FROM events ORDER BY event_id
 """
 
 
+def q46_split_sample(sf_dir: str):
+    """Deterministic train/val/test assignment + stratified sampling —
+    the dataset-curation primitives: split by a Knuth multiplicative
+    hash of doc_id (stable across runs/cluster sizes, no RNG state to
+    coordinate), report per-(source, split) counts and the count of a
+    10 % stratified sample drawn from train by a second hash.  Pure
+    per-batch arithmetic (embarrassingly parallel) + a tiny groupby —
+    the 100 TB shape is exactly this: no shuffle until the count
+    rollup.  SQL-parity via the same integer arithmetic."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        split = np.where(
+            h < np.uint64(int(0.8 * (1 << 32))),
+            "train",
+            np.where(h < np.uint64(int(0.9 * (1 << 32))), "val", "test"),
+        )
+        # constants kept < 2^32 so doc_id * K stays under 2^63 —
+        # DuckDB UBIGINT arithmetic raises on overflow (numpy wraps),
+        # and oracle parity needs identical integer behavior
+        h2 = (ids * np.uint64(0x85EBCA6B) + np.uint64(1)) % np.uint64(1 << 32)
+        sampled = (split == "train") & (h2 < np.uint64(int(0.1 * (1 << 32))))
+        out = pd.DataFrame({"source": b["source"], "split": split})
+        return (
+            out.assign(n=np.int64(1), n_sampled=sampled.astype(np.int64))
+            .groupby(["source", "split"], as_index=False)
+            .agg(n=("n", "sum"), n_sampled=("n_sampled", "sum"))
+        )
+
+    out = (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby(["source", "split"])
+        .aggregate(Sum("n", alias_name="n"), Sum("n_sampled", alias_name="n_sampled"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["n_sampled"] = out["n_sampled"].astype("int64")
+    return out.sort_values(["source", "split"]).reset_index(drop=True)
+
+
+SQL_Q46 = f"""
+WITH h AS (
+  SELECT source,
+         (CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296 AS h1,
+         (CAST(doc_id AS UBIGINT) * 2246822507 + 1) % 4294967296 AS h2
+  FROM documents
+), s AS (
+  SELECT source,
+         CASE WHEN h1 < {int(0.8 * (1 << 32))} THEN 'train'
+              WHEN h1 < {int(0.9 * (1 << 32))} THEN 'val'
+              ELSE 'test' END AS split,
+         h2
+  FROM h
+)
+SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN split = 'train' AND h2 < {int(0.1 * (1 << 32))}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM s GROUP BY source, split ORDER BY source, split
+"""
+
+
 def q45_tfidf_terms(sf_dir: str):
     """Distinctive terms per source: integer-exact tf/df scoring
     (score = tf * 1e9 // df, a monotone idf transform that is
@@ -1638,6 +1703,7 @@ def queries():
         "q43_hll_distinct": q43_hll_distinct,
         "q44_range_join": q44_range_join,
         "q45_tfidf_terms": q45_tfidf_terms,
+        "q46_split_sample": q46_split_sample,
     }
 
 
@@ -1674,4 +1740,5 @@ def oracle_sql():
         "q42_sliding_window": SQL_Q42,
         "q44_range_join": SQL_Q44,
         "q45_tfidf_terms": SQL_Q45,
+        "q46_split_sample": SQL_Q46,
     }
