@@ -1431,6 +1431,50 @@ FROM events ORDER BY event_id
 """
 
 
+def q47_dup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: q18's exact-Jaccard pairs closed into
+    connected components (stages/cluster.py min-label propagation —
+    pairs alone don't dedup; {A~B, B~C} is ONE cluster).  cluster_id
+    = min doc_id of the component; SQL oracle = recursive-CTE closure
+    over the identical pair set."""
+    import ray.data
+
+    from ..stages.cluster import connected_components
+
+    pairs = q18_jaccard_pairs(sf_dir)
+    if isinstance(pairs, pd.DataFrame):
+        pairs_ds = ray.data.from_pandas(pairs[["ia", "ib"]])
+    else:
+        pairs_ds = pairs
+    out = connected_components(pairs_ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_Q47 = f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct([toks[i+1]||' '||toks[i+2]||' '||toks[i+3]
+        ||' '||toks[i+4]||' '||toks[i+5] for i in range(len(toks)-4)]) AS s FROM t),
+e AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh),
+p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter,
+             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT ia, ib FROM p WHERE inter*1.0/(na+nb-inter) >= 0.5),
+edges AS (SELECT ia AS a, ib AS b FROM pairs
+          UNION SELECT ib, ia FROM pairs
+          UNION SELECT ia, ia FROM pairs
+          UNION SELECT ib, ib FROM pairs),
+reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a
+)
+SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY MIN(dst)) AS BIGINT) AS cluster_size
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
 def q46_split_sample(sf_dir: str):
     """Deterministic train/val/test assignment + stratified sampling —
     the dataset-curation primitives: split by a Knuth multiplicative
@@ -1704,6 +1748,7 @@ def queries():
         "q44_range_join": q44_range_join,
         "q45_tfidf_terms": q45_tfidf_terms,
         "q46_split_sample": q46_split_sample,
+        "q47_dup_clusters": q47_dup_clusters,
     }
 
 
@@ -1741,4 +1786,5 @@ def oracle_sql():
         "q44_range_join": SQL_Q44,
         "q45_tfidf_terms": SQL_Q45,
         "q46_split_sample": SQL_Q46,
+        "q47_dup_clusters": SQL_Q47,
     }
