@@ -4,11 +4,10 @@ dedup: {A~B, B~C} must collapse to ONE surviving doc, so components,
 not edges, are the dedup unit).
 
 Algorithm: distributed min-label propagation with pointer-jumping.
-Every node starts labeled with itself; each round
-  (a) neighbor step: label(n) ← min(label(n), min label of n's
-      neighbors), and
-  (b) jump step: label(n) ← label(label(n)),
-so convergence is O(log diameter) rounds.  Labels only decrease and
+Every node starts labeled with itself; each round computes
+label(n) ← min(label(n), min label of n's neighbors,
+label(label(n))) in ONE fused gather, so convergence is
+O(log diameter) rounds at two sort-shuffles per round.  Labels only decrease and
 are bounded below by the component minimum, so the fixpoint is exact;
 a cheap Sum(label) aggregate detects convergence (labels monotone ⇒
 unchanged sum ⇔ no change).
@@ -135,20 +134,16 @@ def connected_components(
 
     prev_sum = None
     for _ in range(max_rounds):
-        # (a) neighbor gather: min neighbor label per node
-        nbr = (
+        # one fused gather answers BOTH request kinds against the
+        # pre-round labels: neighbor requests (key=dst, for src) and
+        # jump requests (key=label(n), for n) — new_label(n) =
+        # min(label(n), min-neighbor label, label(label(n))), a
+        # monotone contraction whose fixpoint is the component
+        # minimum; fusing halves the sort-shuffles per round
+        labels = (
             labels.map_batches(as_kind0, batch_format="pandas")
             .union(edges)
-            .groupby("key")
-            .map_groups(_gather, batch_format="pandas")
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .map_batches(stab, batch_format="pandas")
-        )
-        # (b) pointer jump: label(label(n)) — O(log diameter) rounds
-        labels = (
-            nbr.map_batches(as_kind0, batch_format="pandas")
-            .union(nbr.map_batches(as_jump_req, batch_format="pandas"))
+            .union(labels.map_batches(as_jump_req, batch_format="pandas"))
             .groupby("key")
             .map_groups(_gather, batch_format="pandas")
             .groupby("node")
