@@ -1475,6 +1475,54 @@ FROM reach GROUP BY src ORDER BY doc_id
 """
 
 
+def q48_neardup_survivors(sf_dir: str):
+    """End-to-end NEAR-dup dedup: q47's clusters pick one canonical
+    doc per component (min doc_id); every other cluster member is
+    dropped, singletons pass through.  The per-source survivor count
+    is the result (the whole-corpus version of 'write the cleaned
+    corpus', near-dup edition — q38 is the exact-dup analog).
+
+    Shape: the drop set (cluster members ≠ canonical) is tiny relative
+    to the corpus, so it broadcasts into a vectorized isin filter per
+    batch — no corpus-wide shuffle."""
+    import ray
+
+    cl = q47_dup_clusters(sf_dir)
+    drop = set(
+        cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"].astype("int64")
+    )
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    drop_ref = ray.put(np.fromiter(drop, np.int64, len(drop)))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(drop_ref)
+        m = ~b["doc_id"].astype("int64").isin(d)
+        out = b.loc[m, ["source"]].copy()
+        return out.groupby("source", as_index=False).agg(
+            n_docs=("source", "size")
+        )
+
+    return _final_combine(
+        ds.map_batches(keep, batch_format="pandas"), ["source"], ["n_docs"]
+    )
+
+
+SQL_Q48 = (
+    SQL_Q47.replace(
+        """SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY MIN(dst)) AS BIGINT) AS cluster_size
+FROM reach GROUP BY src ORDER BY doc_id""",
+        """, cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+         FROM reach GROUP BY src)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d
+LEFT JOIN cl ON d.doc_id = cl.doc_id
+WHERE cl.doc_id IS NULL OR cl.doc_id = cl.cluster_id
+GROUP BY d.source ORDER BY d.source""",
+    )
+)
+
+
 def q46_split_sample(sf_dir: str):
     """Deterministic train/val/test assignment + stratified sampling —
     the dataset-curation primitives: split by a Knuth multiplicative
@@ -1749,6 +1797,7 @@ def queries():
         "q45_tfidf_terms": q45_tfidf_terms,
         "q46_split_sample": q46_split_sample,
         "q47_dup_clusters": q47_dup_clusters,
+        "q48_neardup_survivors": q48_neardup_survivors,
     }
 
 
@@ -1787,4 +1836,5 @@ def oracle_sql():
         "q45_tfidf_terms": SQL_Q45,
         "q46_split_sample": SQL_Q46,
         "q47_dup_clusters": SQL_Q47,
+        "q48_neardup_survivors": SQL_Q48,
     }
