@@ -1523,6 +1523,133 @@ GROUP BY d.source ORDER BY d.source""",
 )
 
 
+def q49_heavy_tokens(sf_dir: str):
+    """EXACT heavy-hitter tokens via 2-pass Count-Min (no
+    vocabulary-sized shuffle): pass 1 folds every batch into a 2 MB
+    CMS partial, pass 2 keeps only tokens whose merged-CMS estimate
+    clears the threshold (a guaranteed superset — CMS never
+    underestimates), so the final exact combine sees candidate rows
+    only.  Threshold = 0.5 % of total token occurrences.  The
+    bounded-memory scale path for q12-style word counts at 100 TB."""
+    from ..stages import sketch as sk
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def vals(b: pd.DataFrame) -> np.ndarray:
+        e = tx.tokenize_series(b["text"]).explode().dropna()
+        return e.to_numpy().astype("U")
+
+    out = sk.heavy_hitters(ds, vals, threshold_frac=0.005, value_col="token")
+    return out.sort_values("token").reset_index(drop=True)
+
+
+SQL_Q49 = f"""
+WITH e AS (SELECT unnest({_TOKS}) AS token FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM e GROUP BY token
+HAVING COUNT(*) >= GREATEST(1, CAST(FLOOR((SELECT COUNT(*) FROM e) * 0.005) AS BIGINT))
+ORDER BY token
+"""
+
+
+def q50_price_quantiles(sf_dir: str):
+    """Exact global price quantiles WITHOUT a global sort: one
+    min/max pass, one 64 Ki-bin histogram pass (8 KB partials summed
+    on the driver), then a collect of only the target bins (~n/bins
+    rows each) to resolve the exact rank element; skewed bins refine
+    recursively instead of OOMing the driver.  Replaces the
+    all-to-all ``ds.sort`` a naive quantile would need."""
+    from ..stages import sketch as sk
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        lambda b: pd.DataFrame({"cents": _cents(b["l_extendedprice"])}),
+        batch_format="pandas",
+    )
+    return sk.global_quantiles(
+        ds, "cents", [0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
+SQL_Q50 = """
+WITH v AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c FROM lineitem)
+SELECT CAST(q_ppm AS BIGINT) AS q_ppm, CAST(value AS BIGINT) AS value FROM (
+  SELECT 250000 AS q_ppm, quantile_disc(c, 0.25) AS value FROM v
+  UNION ALL SELECT 500000, quantile_disc(c, 0.50) FROM v
+  UNION ALL SELECT 750000, quantile_disc(c, 0.75) FROM v
+  UNION ALL SELECT 900000, quantile_disc(c, 0.90) FROM v
+  UNION ALL SELECT 990000, quantile_disc(c, 0.99) FROM v
+) ORDER BY q_ppm
+"""
+
+
+def q51_bloom_semijoin(sf_dir: str):
+    """Order stats for customers in debt (semi-join), bloom-style:
+    the small side's keys become a broadcast bit-packed bloom filter
+    (10 bits/key — broadcastable where the exact key set is not);
+    the big side probes it per batch, and only the tiny surviving
+    fraction gets the exact-verify membership check.  At 100 TB this
+    keeps the big-side scan shuffle-free: no hash repartition of
+    orders, no join exchange — false positives are removed by the
+    exact check on survivors only."""
+    import ray
+
+    from ..stages import sketch as sk
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: b.loc[b["c_acctbal"] < 0, ["c_custkey"]],
+        batch_format="pandas",
+    )
+    bloom = sk.bloom_build(cust, "c_custkey", m_bits=1 << 20, k=7)
+    # exact verify side: sorted key array (at 10^9 keys this becomes a
+    # shuffle join of the bloom survivors instead — documented scale path)
+    keys = np.sort(cust.to_pandas()["c_custkey"].to_numpy(np.int64))
+    bloom_ref = ray.put(bloom)
+    keys_ref = ray.put(keys)
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        bl = ray.get(bloom_ref)
+        ck = b["o_custkey"].to_numpy(np.int64)
+        cand = sk.bloom_might_contain(bl, ck, 7)
+        sub = b.loc[cand]
+        if not len(sub):
+            return pd.DataFrame(
+                {"o_orderstatus": pd.Series([], dtype=str),
+                 "n_orders": pd.Series([], dtype=np.int64),
+                 "revenue_cents": pd.Series([], dtype=np.int64)}
+            )
+        kk = ray.get(keys_ref)
+        sck = sub["o_custkey"].to_numpy(np.int64)
+        pos = np.searchsorted(kk, sck)
+        exact = (pos < len(kk)) & (kk[np.minimum(pos, len(kk) - 1)] == sck)
+        sub = sub.loc[exact]
+        g = pd.DataFrame(
+            {"o_orderstatus": sub["o_orderstatus"].to_numpy(),
+             "revenue_cents": _cents(sub["o_totalprice"])}
+        ).groupby("o_orderstatus", as_index=False).agg(
+            n_orders=("o_orderstatus", "size"),
+            revenue_cents=("revenue_cents", "sum"),
+        )
+        return g[["o_orderstatus", "n_orders", "revenue_cents"]]
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+    return _final_combine(
+        orders.map_batches(probe, batch_format="pandas"),
+        ["o_orderstatus"],
+        ["n_orders", "revenue_cents"],
+    )
+
+
+SQL_Q51 = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q46_split_sample(sf_dir: str):
     """Deterministic train/val/test assignment + stratified sampling —
     the dataset-curation primitives: split by a Knuth multiplicative
@@ -1798,6 +1925,9 @@ def queries():
         "q46_split_sample": q46_split_sample,
         "q47_dup_clusters": q47_dup_clusters,
         "q48_neardup_survivors": q48_neardup_survivors,
+        "q49_heavy_tokens": q49_heavy_tokens,
+        "q50_price_quantiles": q50_price_quantiles,
+        "q51_bloom_semijoin": q51_bloom_semijoin,
     }
 
 
@@ -1837,4 +1967,7 @@ def oracle_sql():
         "q46_split_sample": SQL_Q46,
         "q47_dup_clusters": SQL_Q47,
         "q48_neardup_survivors": SQL_Q48,
+        "q49_heavy_tokens": SQL_Q49,
+        "q50_price_quantiles": SQL_Q50,
+        "q51_bloom_semijoin": SQL_Q51,
     }

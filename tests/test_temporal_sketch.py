@@ -222,3 +222,95 @@ def test_approx_distinct_on_strings(ray_session):
     df = pd.DataFrame({"s": [f"host-{i % 500}.example.com" for i in range(8000)]})
     got = approx_distinct(ray.data.from_pandas(df), "s")
     assert abs(got["approx"] - 500) / 500 < 0.1
+
+
+# ------------------------------------------------------- count-min / bloom
+
+def test_cms_never_underestimates():
+    from searchengine_ray.stages.sketch import cms_partial, cms_query
+
+    rng = np.random.default_rng(5)
+    vals = np.array([f"k{int(x)}" for x in rng.zipf(1.3, 30000)])
+    # tiny sketch so collisions are common — the >= guarantee must hold anyway
+    cms = cms_partial(vals, width=64, depth=3)
+    uniq, cnt = np.unique(vals, return_counts=True)
+    est = cms_query(cms, uniq)
+    assert (est >= cnt).all()
+
+
+def test_heavy_hitters_exact_on_zipf(ray_session):
+    import ray
+
+    from searchengine_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    toks = np.array([f"w{int(x)}" for x in rng.zipf(1.5, 20000)])
+    ds = ray.data.from_pandas(pd.DataFrame({"tok": toks})).repartition(8)
+    got = heavy_hitters(
+        ds, lambda b: b["tok"].to_numpy().astype("U"), threshold=250,
+        width=1 << 12, value_col="tok",
+    )
+    truth = pd.Series(toks).value_counts()
+    want = truth[truth >= 250].sort_index()
+    assert list(got.sort_values("tok")["tok"]) == list(want.index)
+    assert list(got.sort_values("tok")["cnt"]) == list(want.to_numpy())
+
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    from searchengine_ray.stages.sketch import bloom_might_contain, bloom_partial
+
+    rng = np.random.default_rng(11)
+    keys = rng.choice(10**9, 5000, replace=False).astype(np.int64)
+    words = bloom_partial(keys, 1 << 17, 7)
+    assert bloom_might_contain(words, keys, 7).all()  # no false negatives
+    probe = rng.choice(10**9, 20000, replace=False).astype(np.int64)
+    fresh = probe[~np.isin(probe, keys)]
+    # theoretical fp at n=5000, m=2^17, k=7 is ~0.03%; allow 1%
+    assert bloom_might_contain(words, fresh, 7).mean() < 0.01
+
+
+def test_bloom_partials_merge_like_single_build():
+    from searchengine_ray.stages.sketch import bloom_partial
+
+    rng = np.random.default_rng(13)
+    v = rng.integers(0, 10**8, 4000).astype(np.int64)
+    merged = np.zeros((1 << 14) // 64, np.uint64)
+    for c in np.array_split(v, 5):
+        merged |= bloom_partial(c, 1 << 14, 5)
+    assert np.array_equal(merged, bloom_partial(v, 1 << 14, 5))
+
+
+# -------------------------------------------------- exact global quantiles
+
+def test_global_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from searchengine_ray.stages.sketch import global_quantiles
+
+    rng = np.random.default_rng(17)
+    vals = np.concatenate(
+        [
+            rng.integers(-1000, 10**7, 30000),
+            np.full(8000, 4242),  # fat duplicated value: single-value bin
+        ]
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+    # small bins + tiny max_collect to force the recursive-refine path
+    got = global_quantiles(ds, "v", qs, bins=1 << 8, max_collect=300)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    for (q_ppm, v), q in zip(got.itertuples(index=False), qs):
+        want = con.execute(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        assert v == want, (q, v, want)
+
+
+def test_global_quantiles_constant_column(ray_session):
+    import ray
+
+    from searchengine_ray.stages.sketch import global_quantiles
+
+    ds = ray.data.from_pandas(pd.DataFrame({"v": np.full(1000, 7)}))
+    got = global_quantiles(ds, "v", [0.5])
+    assert got["value"].tolist() == [7]
