@@ -35,22 +35,41 @@ def _empty(cols: dict) -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
 
 
-def _gather(g: pd.DataFrame) -> pd.DataFrame:
-    """One key's group: kind-0 row = the key's current label; kind-1
-    rows = nodes requesting it.  Emits (node, label) for every
-    requester plus the key itself (so its label survives the min)."""
-    own = g.loc[g["kind"] == 0, "label"]
+def _gather_part(g: pd.DataFrame) -> pd.DataFrame:
+    """One hash PARTITION of keys (not one key — a per-key callable
+    would be a Python call per graph node): kind-0 rows carry each
+    key's current label; kind-1 rows are lookup requests.  One
+    vectorized pandas pass answers every key in the partition: emits
+    (node, label-of-key) for every requester plus (key, label) for
+    the key itself so its label survives the downstream min."""
+    if not len(g):
+        return _empty(_OUT_DTYPES)
+    own = g.loc[g["kind"] == 0]
     if not len(own):
         return _empty(_OUT_DTYPES)
-    lab = np.int64(own.min())
-    req = g.loc[g["kind"] == 1, "node"].to_numpy(np.int64)
-    key = np.int64(g["key"].iloc[0])
+    own_min = own.groupby("key")["label"].min()
+    req = g.loc[g["kind"] == 1]
+    lab = own_min.reindex(req["key"]).to_numpy()
+    ok = ~np.isnan(lab)
     return pd.DataFrame(
         {
-            "node": np.concatenate([req, [key]]),
-            "label": np.full(len(req) + 1, lab, np.int64),
+            "node": np.concatenate(
+                [req["node"].to_numpy(np.int64)[ok],
+                 own_min.index.to_numpy(np.int64)]
+            ),
+            "label": np.concatenate(
+                [lab[ok].astype(np.int64), own_min.to_numpy(np.int64)]
+            ),
         }
     )
+
+
+def _min_part(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-partition vectorized min-by-node (the label reduce)."""
+    if not len(g) or "node" not in g.columns:
+        return _empty(_OUT_DTYPES)
+    out = g.groupby("node", as_index=False)["label"].min()
+    return out.astype({"node": "int64", "label": "int64"})
 
 
 def connected_components(
@@ -63,7 +82,7 @@ def connected_components(
     cluster_size); cluster_id = the component's minimum doc_id.
     Only nodes that appear in some pair are emitted (singletons are
     trivially their own cluster and need no shuffle)."""
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
     def to_edges(b: pd.DataFrame) -> pd.DataFrame:
         a = b[col_a].to_numpy(np.int64)
@@ -116,6 +135,21 @@ def connected_components(
             }
         )
 
+    import ray
+
+    npart = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def part_by(col: str, name: str):
+        def add(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b[name] = (
+                b[col].to_numpy(np.int64) % npart if len(b)
+                else np.array([], np.int64)
+            )
+            return b
+
+        return add
+
     edges = pairs_ds.map_batches(to_edges, batch_format="pandas")
     labels = (
         edges.map_batches(
@@ -126,8 +160,9 @@ def connected_components(
             else _empty(_OUT_DTYPES),
             batch_format="pandas",
         )
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
+        .map_batches(part_by("node", "p"), batch_format="pandas")
+        .groupby("p")
+        .map_groups(_min_part, batch_format="pandas")
         .map_batches(stab, batch_format="pandas")
         .materialize()
     )
@@ -139,15 +174,20 @@ def connected_components(
         # jump requests (key=label(n), for n) — new_label(n) =
         # min(label(n), min-neighbor label, label(label(n))), a
         # monotone contraction whose fixpoint is the component
-        # minimum; fusing halves the sort-shuffles per round
+        # minimum; fusing halves the sort-shuffles per round.  Both
+        # shuffles are hash-PARTITION-keyed (key % npart / node %
+        # npart) so the per-group callables run once per partition
+        # with vectorized kernels, not once per graph node.
         labels = (
             labels.map_batches(as_kind0, batch_format="pandas")
             .union(edges)
             .union(labels.map_batches(as_jump_req, batch_format="pandas"))
-            .groupby("key")
-            .map_groups(_gather, batch_format="pandas")
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            .map_batches(part_by("key", "p"), batch_format="pandas")
+            .groupby("p")
+            .map_groups(_gather_part, batch_format="pandas")
+            .map_batches(part_by("node", "p2"), batch_format="pandas")
+            .groupby("p2")
+            .map_groups(_min_part, batch_format="pandas")
             .map_batches(stab, batch_format="pandas")
             .materialize()
         )
@@ -156,8 +196,11 @@ def connected_components(
             break
         prev_sum = s
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
+    def finalize_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one partition of whole clusters (partitioned by label, so a
+        # cluster never straddles partitions); vectorized size via
+        # groupby-transform
+        if not len(g) or "node" not in g.columns:
             return _empty(
                 {"doc_id": "int64", "cluster_id": "int64", "cluster_size": "int64"}
             )
@@ -165,8 +208,14 @@ def connected_components(
             {
                 "doc_id": g["node"].astype("int64"),
                 "cluster_id": g["label"].astype("int64"),
-                "cluster_size": np.full(len(g), len(g), np.int64),
+                "cluster_size": g.groupby("label")["label"]
+                .transform("size")
+                .astype("int64"),
             }
         )
 
-    return labels.groupby("label").map_groups(finalize, batch_format="pandas")
+    return (
+        labels.map_batches(part_by("label", "p3"), batch_format="pandas")
+        .groupby("p3")
+        .map_groups(finalize_part, batch_format="pandas")
+    )
