@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -120,6 +121,16 @@ def cmd_etl(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    from .pipelines.ingest import ingest_documents
+
+    inputs = args.inputs[0] if len(args.inputs) == 1 and os.path.isdir(
+        args.inputs[0]
+    ) else args.inputs
+    print(json.dumps(ingest_documents(inputs, args.out)))
+    return 0
+
+
 def cmd_list(args) -> int:
     from .pipelines.queries import oracle_sql, queries
 
@@ -164,6 +175,16 @@ def main(argv=None) -> int:
     e.add_argument("--sf", default="/root/testdata/sf0.001")
     e.add_argument("--out", default="/tmp/corpus_etl")
     e.set_defaults(fn=cmd_etl)
+
+    ing = sub.add_parser(
+        "ingest",
+        help="land external CSV/JSONL/parquet files as canonical "
+        "documents parts (resumable per file)",
+    )
+    ing.add_argument("inputs", nargs="+",
+                     help="input files, or one directory to scan")
+    ing.add_argument("--out", default="/tmp/ingest_documents")
+    ing.set_defaults(fn=cmd_ingest)
 
     g = sub.add_parser("get", help="export one crawled page (S12 #get)")
     g.add_argument("url")

@@ -57,3 +57,96 @@ def test_etl_matches_q37_and_resumes(ray_session, multi_frag_input, tmp_path):
         assert os.path.getmtime(os.path.join(out, p)) == m, p
     got2 = pq.read_table(out).to_pandas().sort_values("doc_id")
     assert list(got2["doc_id"]) == list(got["doc_id"])
+
+
+# --------------------------------------------------------------- ingest
+
+def _write_inputs(d):
+    import json as _json
+
+    os.makedirs(d, exist_ok=True)
+    # CSV with doc_id + text
+    with open(os.path.join(d, "a.csv"), "w") as f:
+        f.write("doc_id,text\n1,\"the quick brown fox\"\n2,\"hello world\"\n")
+    # JSONL with content alias + source, no doc_id
+    with open(os.path.join(d, "b.jsonl"), "w") as f:
+        for i, t in enumerate(["jumps over the lazy dog", "good day"]):
+            f.write(_json.dumps({"content": t, "source": "web"}) + "\n")
+    # parquet with body alias only
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"body": ["third file text row"]}),
+            preserve_index=False,
+        ),
+        os.path.join(d, "c.parquet"),
+    )
+
+
+def test_ingest_normalizes_and_resumes(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.ingest import ingest_documents
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    _write_inputs(src)
+
+    r1 = ingest_documents(src, out)
+    assert r1["files"] == 3 and r1["skipped"] == 0
+    assert r1["rows_written"] == r1["rows_total"] == 5
+
+    parts = sorted(p for p in os.listdir(out) if p.endswith(".parquet"))
+    assert len(parts) == 3
+    tbl = pq.read_table(out)
+    assert tbl.column_names == ["doc_id", "source", "text"]
+    assert tbl["doc_id"].type == "int64"
+    df = tbl.to_pandas()
+    # explicit ids kept; derived ids deterministic and distinct
+    assert set(df[df["source"] == "a"]["doc_id"]) == {1, 2}
+    assert df["doc_id"].is_unique
+    # source: file stem when absent, column value when present
+    assert set(df["source"]) == {"a", "web", "c"}
+
+    # resume: drop one part, re-run — only that part is rebuilt,
+    # derived doc_ids are identical to the first run
+    before = df.sort_values("doc_id").reset_index(drop=True)
+    os.remove(os.path.join(out, parts[1]))
+    r2 = ingest_documents(src, out)
+    assert r2["skipped"] == 2 and r2["rows_total"] == 5
+    after = pq.read_table(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_ingest_output_is_queryable(ray_session, tmp_path):
+    import ray
+
+    from searchengine_ray.pipelines.ingest import ingest_documents
+    from searchengine_ray.stages import text as tx
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    _write_inputs(src)
+    ingest_documents(src, out)
+    ds = ray.data.read_parquet(out)
+    words = (
+        ds.map_batches(tx.word_count_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("word")["cnt"]
+        .sum()
+    )
+    assert int(words["the"]) == 2  # "the quick..." + "the lazy dog"
+
+
+def test_ingest_rejects_textless_file(tmp_path):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from searchengine_ray.pipelines.ingest import normalize_documents
+
+    with _pytest.raises(ValueError, match="no text column"):
+        normalize_documents(pa.table({"x": [1]}), "bad.csv")
