@@ -1730,6 +1730,52 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q52_length_band_filter(sf_dir: str):
+    """Quantile-band outlier filter — the curation step that drops
+    too-short/too-long documents by PERCENTILE rather than a magic
+    constant: compute the exact p10/p90 of tokens-per-doc with the
+    histogram quantile operator (no global sort), then one broadcast
+    filter pass counts surviving docs per source.  Composition of
+    q50's operator with the corpus tables."""
+    from ..stages import sketch as sk
+
+    ds = _read(sf_dir, "documents", ["source", "text"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "source": b["source"],
+                "n_tokens": tx.tokenize_series(b["text"])
+                .str.len()
+                .astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    qv = sk.global_quantiles(ds, "n_tokens", [0.10, 0.90])
+    lo, hi = int(qv["value"].iloc[0]), int(qv["value"].iloc[1])
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["n_tokens"] >= lo) & (b["n_tokens"] <= hi)
+        out = b.loc[m, ["source"]].copy()
+        return out.groupby("source", as_index=False).agg(
+            n_docs=("source", "size")
+        )
+
+    return _final_combine(
+        ds.map_batches(keep, batch_format="pandas"), ["source"], ["n_docs"]
+    )
+
+
+SQL_Q52 = f"""
+WITH t AS (SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+           FROM documents),
+b AS (SELECT quantile_disc(n_tokens, 0.10) AS lo,
+             quantile_disc(n_tokens, 0.90) AS hi FROM t)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM t, b WHERE n_tokens BETWEEN lo AND hi
+GROUP BY source ORDER BY source
+"""
+
+
 def q46_split_sample(sf_dir: str):
     """Deterministic train/val/test assignment + stratified sampling —
     the dataset-curation primitives: split by a Knuth multiplicative
@@ -2007,6 +2053,7 @@ def queries():
         "q49_heavy_tokens": q49_heavy_tokens,
         "q50_price_quantiles": q50_price_quantiles,
         "q51_bloom_semijoin": q51_bloom_semijoin,
+        "q52_length_band_filter": q52_length_band_filter,
     }
 
 
@@ -2049,4 +2096,5 @@ def oracle_sql():
         "q49_heavy_tokens": SQL_Q49,
         "q50_price_quantiles": SQL_Q50,
         "q51_bloom_semijoin": SQL_Q51,
+        "q52_length_band_filter": SQL_Q52,
     }
