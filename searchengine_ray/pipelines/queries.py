@@ -1776,6 +1776,30 @@ GROUP BY source ORDER BY source
 """
 
 
+def q53_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (iterative
+    algorithm: broadcast k x d centroids per round, per-batch
+    (sum, count) partials, driver fold — the table is never shuffled
+    or materialized), then one labeling pass and per-cluster counts.
+    Rows-only (iterative float algorithm; not SQL-expressible)."""
+    from ..stages import similarity as sim
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent, _ = sim.kmeans(ds, k=8, iters=10)
+    labeled = sim.kmeans_assign(ds, cent)
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("cluster_id", as_index=False).agg(
+            n_vecs=("cluster_id", "size")
+        )
+
+    return _final_combine(
+        labeled.map_batches(count, batch_format="pandas"),
+        ["cluster_id"],
+        ["n_vecs"],
+    )
+
+
 def q46_split_sample(sf_dir: str):
     """Deterministic train/val/test assignment + stratified sampling —
     the dataset-curation primitives: split by a Knuth multiplicative
@@ -2054,6 +2078,7 @@ def queries():
         "q50_price_quantiles": q50_price_quantiles,
         "q51_bloom_semijoin": q51_bloom_semijoin,
         "q52_length_band_filter": q52_length_band_filter,
+        "q53_kmeans_clusters": q53_kmeans_clusters,
     }
 
 

@@ -116,3 +116,98 @@ def ivf_topk(ds, query_vecs, centroids, k: int = 10, n_probe: int = 4,
 
     pruned = ds.map_batches(filter_probe, batch_format="pandas")
     return cosine_topk(pruned, query_vecs, k=k, id_col=id_col, emb_col=emb_col)
+
+
+def kmeans(
+    ds,
+    k: int,
+    emb_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 13,
+    sample: int = 4096,
+    tol: float = 1e-4,
+):
+    """Distributed Lloyd k-means over an embedding column.
+
+    The iterative-algorithm pattern at 100 TB: centroids are the ONLY
+    state (k x d floats, broadcast via ray.put each round); every
+    batch reduces to per-centroid (sum vector, count) partials —
+    np.add.at over the assignment — and the driver folds the tiny
+    partials into new centroids.  The table itself is never shuffled,
+    never materialized; cost per iteration is one streaming pass.
+    Empty clusters keep their previous centroid.  Early-stops when the
+    max centroid shift drops below ``tol``.
+
+    Returns (centroids ndarray (k, d), n_iters_run).
+    """
+    import ray
+
+    # iterate over a column-pruned object-store cache: every Lloyd
+    # round is a full pass, so re-reading parquet per round pays the
+    # scan k*iters times; materialized blocks live in plasma and
+    # spill to disk if oversized — strictly cheaper than re-decoding
+    ds = ds.select_columns([emb_col]).materialize()
+    init = ds.limit(sample).to_pandas()
+    x0 = np.stack(init[emb_col].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    # farthest-first init over the sample (deterministic k-means++
+    # flavor): random seeds can land two centroids in one cluster and
+    # split it; greedy max-min-distance picks separate the modes
+    k = min(k, len(x0))
+    chosen = [int(rng.integers(len(x0)))]
+    d2 = ((x0 - x0[chosen[0]]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        nxt = int(np.argmax(d2))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((x0 - x0[nxt]) ** 2).sum(axis=1))
+    cent = x0[chosen].copy()
+    d = cent.shape[1]
+
+    for it in range(iters):
+        ref = ray.put(cent)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            x = np.stack(b[emb_col].to_numpy()).astype(np.float64)
+            # argmin ||x-c||^2 == argmax (x.c - |c|^2/2)
+            assign = np.argmax(x @ c.T - 0.5 * (c * c).sum(axis=1), axis=1)
+            sums = np.zeros((len(c), x.shape[1]), np.float64)
+            np.add.at(sums, assign, x)
+            cnt = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            return pd.DataFrame(
+                {"sums": [sums.tobytes()], "cnt": [cnt.tobytes()]}
+            )
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        sums = np.zeros((k, d), np.float64)
+        cnt = np.zeros(k, np.int64)
+        for srow, crow in zip(parts["sums"], parts["cnt"]):
+            sums += np.frombuffer(srow, np.float64).reshape(k, d)
+            cnt += np.frombuffer(crow, np.int64)
+        new = cent.copy()
+        nz = cnt > 0
+        new[nz] = sums[nz] / cnt[nz, None]
+        shift = float(np.abs(new - cent).max())
+        cent = new
+        if shift < tol:
+            return cent, it + 1
+    return cent, iters
+
+
+def kmeans_assign(ds, centroids, emb_col: str = "embedding"):
+    """Label a Dataset with the nearest-centroid cluster id (one
+    broadcast, one streaming pass)."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, np.float64))
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        x = np.stack(b[emb_col].to_numpy()).astype(np.float64)
+        b = b.copy()
+        b["cluster_id"] = np.argmax(
+            x @ c.T - 0.5 * (c * c).sum(axis=1), axis=1
+        ).astype(np.int64)
+        return b
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -254,3 +254,29 @@ def test_q29_planted_neardups_recovered(ray_session):
     pairs = set(zip(out["id_a"], out["id_b"]))
     planted = {(i, i + 1_000_000) for i in range(20)}
     assert planted <= pairs, sorted(planted - pairs)
+
+
+def test_kmeans_recovers_planted_blobs(ray_session):
+    import ray
+
+    from searchengine_ray.stages.similarity import kmeans, kmeans_assign
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(0, 10, (4, 16))
+    rows = []
+    for c in range(4):
+        pts = centers[c] + rng.normal(0, 0.1, (100, 16))
+        rows.extend({"vec_id": c * 100 + i, "embedding": p} for i, p in enumerate(pts))
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df).repartition(6)
+    cent, iters = kmeans(ds, k=4, iters=20, sample=400)
+    assert iters < 20  # converged by tol, not exhaustion
+    labeled = kmeans_assign(ds, cent).to_pandas()
+    # every planted blob maps to exactly one recovered cluster
+    purity = labeled.groupby(labeled["vec_id"] // 100)["cluster_id"].nunique()
+    assert (purity == 1).all()
+    assert labeled["cluster_id"].nunique() == 4
+    # recovered centroids sit on the planted centers
+    got = np.sort(np.stack([c for c in cent]), axis=0)
+    want = np.sort(centers, axis=0)
+    assert np.abs(got - want).max() < 0.1

@@ -78,6 +78,7 @@ ROWS_ONLY = [
     "q28_ivf_topk",
     "q29_embedding_neardup",
     "q30_fingerprint",
+    "q53_kmeans_clusters",
 ]
 
 
