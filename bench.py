@@ -61,6 +61,8 @@ QUERY_NAMES = [
     "q40_asof_join",
     "q41_value_percentiles",
     "q44_range_join",
+    "q49_heavy_tokens",
+    "q50_price_quantiles",
 ]
 
 
