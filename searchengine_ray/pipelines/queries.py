@@ -1800,6 +1800,30 @@ def q53_kmeans_clusters(sf_dir: str):
     )
 
 
+def q54_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample without replacement (50 docs,
+    weight = tokens-per-doc): Efraimidis-Spirakis keys from
+    hash-derived uniforms — the same docs are chosen at any
+    partitioning or cluster size, no RNG state to checkpoint.
+    Per-batch partial top-k, driver merges <= k*nblocks candidates.
+    Rows-only (hash-uniform keys are not expressible in the SQL
+    oracle)."""
+    from ..stages import sampling as smp
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_tokens": tx.tokenize_series(b["text"])
+                .str.len()
+                .astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return smp.weighted_sample(ds, k=50, weight_col="n_tokens")
+
+
 def q46_split_sample(sf_dir: str):
     """Deterministic train/val/test assignment + stratified sampling —
     the dataset-curation primitives: split by a Knuth multiplicative
@@ -2079,6 +2103,7 @@ def queries():
         "q51_bloom_semijoin": q51_bloom_semijoin,
         "q52_length_band_filter": q52_length_band_filter,
         "q53_kmeans_clusters": q53_kmeans_clusters,
+        "q54_weighted_sample": q54_weighted_sample,
     }
 
 

@@ -79,6 +79,7 @@ ROWS_ONLY = [
     "q29_embedding_neardup",
     "q30_fingerprint",
     "q53_kmeans_clusters",
+    "q54_weighted_sample",
 ]
 
 

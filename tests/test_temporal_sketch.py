@@ -314,3 +314,58 @@ def test_global_quantiles_constant_column(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"v": np.full(1000, 7)}))
     got = global_quantiles(ds, "v", [0.5])
     assert got["value"].tolist() == [7]
+
+
+# ---------------------------------------------------- weighted sampling
+
+def test_weighted_sample_matches_local_reference(ray_session):
+    import ray
+
+    from searchengine_ray.stages.sampling import sample_keys, weighted_sample
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000, dtype=np.int64),
+            "w": rng.uniform(0.1, 5.0, 1000),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = weighted_sample(ds, k=40, weight_col="w", seed=29)
+    # exact local reference: global k-smallest E-S keys
+    keys = sample_keys(df["doc_id"].to_numpy(), df["w"].to_numpy(), 29)
+    want = set(df["doc_id"].to_numpy()[np.argsort(keys)[:40]])
+    assert set(got["doc_id"]) == want
+
+
+def test_weighted_sample_partition_invariant(ray_session):
+    import ray
+
+    from searchengine_ray.stages.sampling import weighted_sample
+
+    rng = np.random.default_rng(37)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(500, dtype=np.int64),
+            "w": rng.uniform(0.5, 2.0, 500),
+        }
+    )
+    a = weighted_sample(ray.data.from_pandas(df).repartition(3), 25, "w")
+    b = weighted_sample(ray.data.from_pandas(df).repartition(13), 25, "w")
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_weighted_sample_favors_heavy_and_skips_zero(ray_session):
+    import ray
+
+    from searchengine_ray.stages.sampling import weighted_sample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "w": np.concatenate([[1e6], np.ones(198), [0.0]]),
+        }
+    )
+    got = weighted_sample(ray.data.from_pandas(df).repartition(4), 10, "w")
+    assert 0 in set(got["doc_id"])      # overwhelming weight always sampled
+    assert 199 not in set(got["doc_id"])  # zero weight never sampled
