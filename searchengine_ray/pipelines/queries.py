@@ -1824,6 +1824,179 @@ def q54_weighted_sample(sf_dir: str):
     return smp.weighted_sample(ds, k=50, weight_col="n_tokens")
 
 
+def q55_decontaminate(sf_dir: str):
+    """Benchmark decontamination (training-data op): flag corpus
+    documents sharing any 8-token n-gram with a held-out benchmark
+    set (docs with ``doc_id % 7 == 0`` — a deterministic stand-in for
+    an eval suite).  Two passes: (1) benchmark docs → distinct
+    shingle hashes, unioned into one sorted uint64 array and
+    broadcast with ``ray.put`` (the benchmark side is the small side
+    at 100 TB: eval suites are ~1e6–1e8 n-grams, a few hundred MB);
+    (2) the corpus streams through a ``searchsorted`` membership per
+    batch, emitting ``(doc_id, n_shared)`` for hit docs only — the
+    driver sees just the contaminated list.  Shingles travel as
+    64-bit hashes; hash equality stands in for string equality
+    (collision odds ~2^-64 per pair, as q18)."""
+    import ray
+
+    from ..stages.dedup import _distinct_shingles
+
+    K, MOD = 8, 7
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_hashes(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"].to_numpy(np.int64) % MOD == 0]
+        _d, sh, _l = _distinct_shingles(b["text"], K, short_fallback=False)
+        return pd.DataFrame({"h": np.unique(sh).view(np.int64)})
+
+    bench_pdf = ds.map_batches(bench_hashes, batch_format="pandas").to_pandas()
+    bench_arr = np.unique(bench_pdf["h"].to_numpy(np.int64).view(np.uint64))
+    ref = ray.put(bench_arr)
+
+    def corpus(b: pd.DataFrame) -> pd.DataFrame:
+        bench = ray.get(ref)  # zero-copy plasma read, shared per node
+        b = b[b["doc_id"].to_numpy(np.int64) % MOD != 0]
+        didx, sh, _l = _distinct_shingles(b["text"], K, short_fallback=False)
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_shared": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(sh) or not len(bench):
+            return empty
+        pos = np.searchsorted(bench, sh)
+        hit = (pos < len(bench)) & (
+            bench[np.minimum(pos, len(bench) - 1)] == sh
+        )
+        cnt = np.bincount(didx[hit], minlength=len(b))
+        keep = cnt > 0
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64)[keep],
+                "n_shared": cnt[keep].astype(np.int64),
+            }
+        )
+
+    out = ds.map_batches(corpus, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_NG8 = "||' '||".join(f"toks[i+{j}]" for j in range(1, 9))
+SQL_Q55 = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id,
+         list_distinct([{_NG8} for i in range(len(toks)-7)]) AS s FROM t),
+e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+bench AS (SELECT DISTINCT g FROM e WHERE doc_id % 7 = 0)
+SELECT e.doc_id, COUNT(*) AS n_shared
+FROM e JOIN bench USING (g)
+WHERE e.doc_id % 7 <> 0
+GROUP BY e.doc_id
+"""
+
+
+def q56_top3_orders_per_customer(sf_dir: str):
+    """Grouped top-N (window ``row_number() <= 3`` semantics) without
+    a global sort: per-batch per-group top-3 partials (each batch can
+    contribute at most the true top-3 of any group), hash-partition
+    by customer so each group lands whole, one vectorized
+    sort+head(3) per partition, rank assigned by cumcount.  Only the
+    ≤3·ngroups result rows ever move."""
+    N = 3
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    BY = ["o_custkey", "total_cents", "o_orderkey"]
+    ASC = [True, False, True]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            total_cents=np.round(
+                b["o_totalprice"].to_numpy() * 100
+            ).astype(np.int64)
+        ).sort_values(BY, ascending=ASC)
+        return b.groupby("o_custkey", sort=False).head(N)[
+            ["o_custkey", "o_orderkey", "total_cents"]
+        ]
+
+    npart = _ncpus()
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = (b["o_custkey"].to_numpy(np.int64) % npart).astype(
+            np.int64
+        )
+        return b
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(BY, ascending=ASC)
+        g = g.groupby("o_custkey", sort=False).head(N)
+        g = g.assign(
+            rn=(g.groupby("o_custkey", sort=False).cumcount() + 1).astype(
+                np.int64
+            )
+        )
+        return g.drop(columns=["part"])
+
+    final = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(finalize, batch_format="pandas")
+        .to_pandas()
+    )
+    return final.sort_values(["o_custkey", "rn"]).reset_index(drop=True)
+
+
+SQL_Q56 = """
+SELECT o_custkey, o_orderkey, total_cents, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC,
+                                     o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q57_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group, distributed: per-batch
+    (event_type, user_id) pair-dedup partials → hash-partition by the
+    PAIR (each distinct pair lands exactly once cluster-wide) →
+    per-partition per-type counts → tiny driver sum over #types rows.
+    The distinct-pair set never converges on one node; only
+    per-type partial counts do."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates().assign(one=np.int8(1))
+
+    dedup = _part_groupby(
+        ds.map_batches(pairs, batch_format="pandas"),
+        ["event_type", "user_id"],
+        {"one": "max"},
+    )
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+
+    out = _final_combine(
+        dedup.map_batches(counts, batch_format="pandas"),
+        ["event_type"],
+        ["n_users"],
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_Q57 = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q46_split_sample(sf_dir: str):
     """Deterministic train/val/test assignment + stratified sampling —
     the dataset-curation primitives: split by a Knuth multiplicative
@@ -2104,6 +2277,9 @@ def queries():
         "q52_length_band_filter": q52_length_band_filter,
         "q53_kmeans_clusters": q53_kmeans_clusters,
         "q54_weighted_sample": q54_weighted_sample,
+        "q55_decontaminate": q55_decontaminate,
+        "q56_top3_orders_per_customer": q56_top3_orders_per_customer,
+        "q57_distinct_users": q57_distinct_users,
     }
 
 
@@ -2147,4 +2323,7 @@ def oracle_sql():
         "q50_price_quantiles": SQL_Q50,
         "q51_bloom_semijoin": SQL_Q51,
         "q52_length_band_filter": SQL_Q52,
+        "q55_decontaminate": SQL_Q55,
+        "q56_top3_orders_per_customer": SQL_Q56,
+        "q57_distinct_users": SQL_Q57,
     }
