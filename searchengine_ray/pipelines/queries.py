@@ -1997,6 +1997,260 @@ FROM events GROUP BY event_type
 """
 
 
+def q58_running_totals(sf_dir: str):
+    """Per-entity running totals (window ``SUM() OVER (PARTITION BY
+    user ORDER BY ts)`` semantics) without a global sort: hash-
+    partition by user so each user's history lands whole, then ONE
+    vectorized sort + grouped cumsum per partition.  Output size =
+    input size, but it streams out of the partitions — nothing beyond
+    one user-complete partition is ever resident, and cents-integer
+    math keeps the running sum exact at any prefix length."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    npart = _ncpus()
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(np.int64),
+                "ts": b["ts"],
+                "user_id": b["user_id"].to_numpy(np.int64),
+                "cents": _cents(b["value"]),
+                "part": (
+                    b["user_id"].to_numpy(np.int64) % npart
+                ).astype(np.int64),
+            }
+        )
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        g = g.assign(
+            run_cents=g.groupby("user_id", sort=False)["cents"]
+            .cumsum()
+            .astype(np.int64)
+        )
+        return g[["event_id", "user_id", "run_cents"]]
+
+    out = (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby("part")
+        .map_groups(run, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_Q58 = """
+SELECT event_id, user_id,
+       SUM(CAST(ROUND(value*100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_cents
+FROM events
+"""
+
+
+def q59_source_quota(sf_dir: str):
+    """Per-(lang, source) quota cap — the training-mixture primitive
+    that bounds any one source's contribution: keep the first K docs
+    per group in a deterministic pseudo-random order (Knuth
+    multiplicative hash of doc_id — stable across runs and cluster
+    sizes, no RNG state to coordinate).  Per-batch partial top-K
+    (a batch can contribute at most the true top-K of any group) →
+    hash-partition by group → one vectorized sort+head(K) per
+    partition.  Only ≤K·ngroups candidate rows ride the shuffle."""
+    K = 5
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def order_key(doc_id: np.ndarray) -> np.ndarray:
+        return (doc_id.astype(np.int64) * 2654435761) % (1 << 32)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(okey=order_key(b["doc_id"].to_numpy(np.int64)))
+        b = b.sort_values(["okey", "doc_id"])
+        return b.groupby(["lang", "source"], sort=False).head(K)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["okey", "doc_id"])
+        g = g.groupby(["lang", "source"], sort=False).head(K)
+        return g[["doc_id", "lang", "source"]]
+
+    kept = _part_topk_groups(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["lang", "source"],
+        finalize,
+    )
+    return kept.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_Q59 = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY (doc_id*2654435761)%4294967296, doc_id)
+           AS rn
+  FROM documents) WHERE rn <= 5
+"""
+
+
+def _part_topk_groups(partials_ds, keys: list, finalize):
+    """Hash-partition rows by group key(s) and apply ``finalize`` once
+    per key-complete partition (the grouped-top-K / quota finisher).
+    Same int64-hash routing as ``_part_groupby`` — avoids Ray's slow
+    string-keyed Aggregate and guarantees every group lands whole."""
+    from ..functions.hashing import fnv1a64_batch, fnv1a64_fixed, hash_combine
+
+    npart = _ncpus()
+
+    def _keyhash(b: pd.DataFrame, col: str) -> np.ndarray:
+        v = b[col].to_numpy()
+        if v.dtype.kind in "iu":
+            mat = np.ascontiguousarray(v.astype("<u8")).view(np.uint8)
+            return fnv1a64_fixed(mat.reshape(len(v), 8))
+        return fnv1a64_batch(v.astype("U"))
+
+    def addpart(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        if not len(b):
+            b["part"] = np.array([], np.int64)
+            return b
+        h = _keyhash(b, keys[0])
+        for k in keys[1:]:
+            h = hash_combine(h, _keyhash(b, k))
+        b["part"] = (h % np.uint64(npart)).astype(np.int64)
+        return b
+
+    return (
+        partials_ds.map_batches(addpart, batch_format="pandas")
+        .groupby("part")
+        .map_groups(
+            lambda g: finalize(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+
+
+def q60_zscore(sf_dir: str):
+    """Group-normalized values (per-type z-score) — feature
+    normalization as a two-pass broadcast pattern: pass 1 reduces each
+    batch to per-type (Σ, Σ², n) integer partials (exact — cents
+    math), the driver folds the handful of partial rows and broadcasts
+    the tiny moments table; pass 2 streams the events once more,
+    normalizing each batch vectorized.  The big side never shuffles.
+    The float formula is written identically here and in the oracle
+    SQL so both sides round the same IEEE value."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(b["value"])
+        df = pd.DataFrame({"event_type": b["event_type"], "s": c, "ss": c * c})
+        g = df.groupby("event_type", as_index=False).agg(
+            s=("s", "sum"), ss=("ss", "sum"), n=("s", "size")
+        )
+        return g
+
+    mom = _final_combine(
+        ds.map_batches(moments, batch_format="pandas"),
+        ["event_type"],
+        ["s", "ss", "n"],
+    )
+    mom = mom.set_index("event_type")
+    lut = {
+        t: (
+            float(r["s"]) / r["n"],
+            float(np.sqrt((r["ss"] - float(r["s"]) * r["s"] / r["n"]) / r["n"])),
+        )
+        for t, r in mom.iterrows()
+    }
+    ref = ray.put(lut)
+
+    def normalize(b: pd.DataFrame, lut_: dict) -> pd.DataFrame:
+        mean = b["event_type"].map(lambda t: lut_[t][0]).to_numpy(np.float64)
+        std = b["event_type"].map(lambda t: lut_[t][1]).to_numpy(np.float64)
+        z = (_cents(b["value"]) - mean) / std
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(np.int64),
+                "z": np.round(z, 6),
+            }
+        )
+
+    out = ds.map_batches(
+        _broadcast_fn(ref, normalize), batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_Q60 = """
+WITH c AS (SELECT event_id, event_type,
+                  CAST(ROUND(value*100) AS BIGINT) AS cents FROM events),
+s AS (SELECT event_type, SUM(cents) AS s, SUM(cents*cents) AS ss,
+             COUNT(*) AS n FROM c GROUP BY 1)
+SELECT event_id,
+       ROUND((cents - s*1.0/n) / sqrt((ss - s*1.0*s/n)/n), 6) AS z
+FROM c JOIN s USING (event_type)
+"""
+
+
+def q61_bigram_counts(sf_dir: str):
+    """Corpus n-gram language-model counts: top-40 token bigrams by
+    total occurrence (ALL occurrences, not per-doc distinct — the LM
+    phrase-table workload, vs q18/q55's set semantics).  Per-batch
+    flat vectorized bigram construction (one tokenize pass, doc
+    boundaries masked) → per-batch value_counts partial →
+    ``_part_groupby`` sum → per-partition top-40 partial → tiny driver
+    merge.  Bigrams travel as strings because the final answer needs
+    them; counts combine associatively so no partition sees more than
+    its share of the vocabulary."""
+    N = 40
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = tx.tokenize_series(b["text"])
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = np.array(
+            [w for ts in toks for w in ts], dtype=object
+        )
+        if len(flat) < 2:
+            return pd.DataFrame(
+                {
+                    "bigram": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        off = np.concatenate([[0], np.cumsum(lens)])
+        nw = len(flat) - 1
+        doc_of = np.searchsorted(off, np.arange(nw), side="right") - 1
+        ok = np.arange(nw) + 2 <= off[doc_of + 1]
+        big = pd.Series(flat[:-1][ok]).str.cat(pd.Series(flat[1:][ok]), sep=" ")
+        vc = big.value_counts()
+        return pd.DataFrame(
+            {"bigram": vc.index.to_numpy(), "n": vc.to_numpy(np.int64)}
+        )
+
+    agg = _part_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["bigram"],
+        {"n": "sum"},
+    )
+
+    def topn(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", "bigram"], ascending=[False, True]).head(N)
+
+    out = agg.map_batches(topn, batch_format="pandas").to_pandas()
+    out = out.sort_values(["n", "bigram"], ascending=[False, True]).head(N)
+    return out.reset_index(drop=True)
+
+
+_NG2 = "[toks[i+1]||' '||toks[i+2] for i in range(len(toks)-1)]"
+SQL_Q61 = f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+e AS (SELECT unnest({_NG2}) AS bigram FROM t)
+SELECT bigram, COUNT(*) AS n FROM e GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 40
+"""
+
+
 def q46_split_sample(sf_dir: str):
     """Deterministic train/val/test assignment + stratified sampling —
     the dataset-curation primitives: split by a Knuth multiplicative
@@ -2280,6 +2534,10 @@ def queries():
         "q55_decontaminate": q55_decontaminate,
         "q56_top3_orders_per_customer": q56_top3_orders_per_customer,
         "q57_distinct_users": q57_distinct_users,
+        "q58_running_totals": q58_running_totals,
+        "q59_source_quota": q59_source_quota,
+        "q60_zscore": q60_zscore,
+        "q61_bigram_counts": q61_bigram_counts,
     }
 
 
@@ -2326,4 +2584,8 @@ def oracle_sql():
         "q55_decontaminate": SQL_Q55,
         "q56_top3_orders_per_customer": SQL_Q56,
         "q57_distinct_users": SQL_Q57,
+        "q58_running_totals": SQL_Q58,
+        "q59_source_quota": SQL_Q59,
+        "q60_zscore": SQL_Q60,
+        "q61_bigram_counts": SQL_Q61,
     }
