@@ -2251,6 +2251,80 @@ ORDER BY n DESC, bigram LIMIT 40
 """
 
 
+def q62_sequence_packing(sf_dir: str):
+    """Sequence packing (context-window assembly): lay the corpus out
+    as one token stream in doc_id order and assign each doc its
+    context-window chunk + offset (``chunk = prefix_tokens // B``).
+    The core primitive is a DISTRIBUTED PREFIX SUM: docs are
+    range-partitioned by doc_id (dense ids → contiguous partitions),
+    pass 1 reduces each partition to one token-count subtotal, the
+    driver exclusive-scans the npart subtotals (tiny), and pass 2
+    streams each partition once more adding its broadcast base offset
+    to a local cumsum.  Two linear passes, O(npart) driver state —
+    the scan never materializes the corpus anywhere."""
+    import ray
+
+    B = 512
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ndocs = ds.count()  # parquet metadata, no scan
+    npart = _ncpus()
+
+    def counted(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": did,
+                "nt": tx.tokenize_series(b["text"]).str.len().astype("int64"),
+                "part": np.minimum(did * npart // max(ndocs, 1), npart - 1),
+            }
+        )
+
+    counts = ds.map_batches(counted, batch_format="pandas").materialize()
+
+    def subtotal(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("part", as_index=False).agg(tot=("nt", "sum"))
+
+    sub = _final_combine(
+        counts.map_batches(subtotal, batch_format="pandas"), ["part"], ["tot"]
+    )
+    base = np.zeros(npart, np.int64)
+    tot = sub.set_index("part")["tot"]
+    vals = np.array([tot.get(i, 0) for i in range(npart)], np.int64)
+    base[1:] = np.cumsum(vals)[:-1]
+    ref = ray.put(base)
+
+    def assign(g: pd.DataFrame, base_: np.ndarray) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        nt = g["nt"].to_numpy(np.int64)
+        prev = base_[int(g["part"].iloc[0])] + np.cumsum(nt) - nt
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_tokens": nt,
+                "chunk_id": prev // B,
+                "tok_offset": prev % B,
+            }
+        )
+
+    out = (
+        counts.groupby("part")
+        .map_groups(_broadcast_fn(ref, assign), batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_Q62 = f"""
+WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM t)
+SELECT doc_id, n_tokens, prev // 512 AS chunk_id, prev % 512 AS tok_offset
+FROM c
+"""
+
+
 def q46_split_sample(sf_dir: str):
     """Deterministic train/val/test assignment + stratified sampling —
     the dataset-curation primitives: split by a Knuth multiplicative
@@ -2538,6 +2612,7 @@ def queries():
         "q59_source_quota": q59_source_quota,
         "q60_zscore": q60_zscore,
         "q61_bigram_counts": q61_bigram_counts,
+        "q62_sequence_packing": q62_sequence_packing,
     }
 
 
@@ -2588,4 +2663,5 @@ def oracle_sql():
         "q59_source_quota": SQL_Q59,
         "q60_zscore": SQL_Q60,
         "q61_bigram_counts": SQL_Q61,
+        "q62_sequence_packing": SQL_Q62,
     }
