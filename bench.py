@@ -141,6 +141,15 @@ def run_bench() -> dict:
     eng.ray.get(fut)
     results["payload_write"] = round(time.time() - t0, 3)
 
+    # ---- seen-set memory probe (vs reference ~40 B/URL, README.md:9) --
+    mem = ray.get([a.mem_bytes.remote() for a in eng.seen_actors])
+    seen_bytes = sum(m[0] for m in mem)
+    seen_urls = max(1, sum(m[1] for m in mem))
+    results_extra_seen = {
+        "seen_urls": seen_urls,
+        "seen_bytes_per_url": round(seen_bytes / seen_urls, 2),
+    }
+
     # release the crawl actor pools: idle fetch actors keep their
     # num_cpus=1 reservations and would starve the Ray Data queries
     for a in eng.fetch_actors + eng.host_actors + eng.seen_actors:
@@ -221,6 +230,7 @@ def run_bench() -> dict:
         "images_per_s": round(n_images / crawl_sec, 1),
         "unique_images": n_unique,
         **storage_stats,
+        **results_extra_seen,
     }
     ray.shutdown()
     return payload

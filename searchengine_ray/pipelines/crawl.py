@@ -359,7 +359,12 @@ class RayCrawl:
             np.int64,
         )
         self.seen_actors = [
-            SeenActor.remote(1 << 18, k, self.n_seen) for k in range(self.n_seen)
+            # start each shard's cuckoo filter SMALL and let the 0.90-load
+            # doubling rebuild grow it with fill — resident memory then
+            # tracks the URL count (~8 B/URL exact + ~2.4 B/URL filter at
+            # capacity) instead of paying a 10^10-sized table up front;
+            # rebuild re-inserts are vectorized and amortize O(1)/URL
+            SeenActor.remote(1 << 14, k, self.n_seen) for k in range(self.n_seen)
         ]
         self.seq_actor = SeqActor.remote(self.cfg)
         self.payload_dir = (
@@ -1031,6 +1036,15 @@ class _SeenActor:
 
     def count(self) -> int:
         return len(self.shard)
+
+    def mem_bytes(self) -> tuple[int, int]:
+        """(resident bytes, member count) — cuckoo table + exact store.
+        Bench probe for the bytes/URL budget (reference: ~40 B/URL,
+        README.md:9 48 MB / 1M pages)."""
+        return (
+            int(self.shard.filter.table.nbytes) + self.shard.nbytes(),
+            len(self.shard),
+        )
 
     def dump_hashes(self) -> np.ndarray:
         return self.shard.dump_hashes()

