@@ -121,6 +121,15 @@ def cmd_etl(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    from .pipelines.curate import curation_funnel
+
+    counts = curation_funnel(args.sf, out_dir=args.out)
+    print(counts.to_string(index=False))
+    print(f"corpus + MANIFEST.json written to {args.out}")
+    return 0
+
+
 def cmd_ingest(args) -> int:
     from .pipelines.ingest import ingest_documents
 
@@ -175,6 +184,15 @@ def main(argv=None) -> int:
     e.add_argument("--sf", default="/root/testdata/sf0.001")
     e.add_argument("--out", default="/tmp/corpus_etl")
     e.set_defaults(fn=cmd_etl)
+
+    cu = sub.add_parser(
+        "curate",
+        help="end-to-end curation funnel (clean -> dedup -> near-dup "
+        "-> decontaminate -> split) writing the final corpus",
+    )
+    cu.add_argument("--sf", default="/root/testdata/sf0.001")
+    cu.add_argument("--out", default="/tmp/curated_corpus")
+    cu.set_defaults(fn=cmd_curate)
 
     ing = sub.add_parser(
         "ingest",

@@ -711,12 +711,16 @@ def q18_jaccard_pairs(sf_dir: str):
     one flat vectorized pass per batch, no per-doc Python loop), which
     also slims the shuffle from strings to 8-byte keys; hash equality
     stands in for string equality (collision odds ~2^-64 per pair)."""
-    from ray.data.aggregate import Max, Sum
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_pairs_from(ds)
 
+
+def jaccard_pairs_from(ds, K: int = 5, threshold: float = 0.5):
+    """q18's distributed exact-Jaccard pair engine over ANY dataset
+    with (doc_id, text) — reused by the curation funnel (q63), which
+    needs pairs among the post-clean/post-exact-dedup survivor set."""
     from ..stages.dedup import _distinct_shingles
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    K = 5
     npart = _ncpus()
 
     def shingles(b: pd.DataFrame) -> pd.DataFrame:
@@ -776,7 +780,7 @@ def q18_jaccard_pairs(sf_dir: str):
         out = pd.DataFrame(
             {"ia": b["ia"], "ib": b["ib"], "jaccard": np.round(j, 6)}
         )
-        return out[out["jaccard"] >= 0.5]
+        return out[out["jaccard"] >= threshold]
 
     out = agg.map_batches(finish, batch_format="pandas").to_pandas()
     if out.empty:
@@ -2325,6 +2329,98 @@ FROM c
 """
 
 
+def q63_curation_funnel(sf_dir: str):
+    """Flagship end-to-end curation funnel (``pipelines/curate.py``):
+    benchmark holdout → q37 clean gate → exact dedup → near-dup
+    removal (q18 pairs + q47 connected components) → 8-gram
+    decontamination (q55) → q46 deterministic split → per-(split,
+    source) survivor doc/token counts.  Six oracle-checked operators
+    composed into one pipeline, oracle-checked END-TO-END: the SQL
+    restates all six stages as a single CTE chain."""
+    from .curate import curation_funnel
+
+    return curation_funnel(sf_dir)
+
+
+def _q63_sql() -> str:
+    langs = sorted(LANG_PROFILES)
+    score_cols = ",\n       ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS {}".format(
+            ",".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang])), lang
+        )
+        for lang in langs
+    )
+    before = [la for la in langs if la < "en"]
+    after = [la for la in langs if la > "en"]
+    cond = " AND ".join(
+        [f"{la} < en" for la in before] + [f"{la} <= en" for la in after]
+    ) or "TRUE"
+    ng5 = (
+        "toks[i+1]||' '||toks[i+2]||' '||toks[i+3]"
+        "||' '||toks[i+4]||' '||toks[i+5]"
+    )
+    return f"""
+WITH RECURSIVE
+corpus AS (SELECT doc_id, text, source FROM documents
+           WHERE doc_id % 7 <> 0),
+t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM corpus),
+s AS (SELECT doc_id, source, text, toks, {score_cols} FROM t),
+q AS (SELECT doc_id, source, text, toks,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1000000
+               // len(toks) AS stopword_ppm,
+             CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+               * 1000000 // len(toks) AS BIGINT) AS mean_token_len_ppm,
+             ({cond}) AS is_en
+      FROM s WHERE len(toks) > 0),
+cleaned AS (SELECT doc_id, source, text, toks, n_tokens FROM q
+            WHERE is_en AND n_tokens >= 5 AND stopword_ppm <= 500000
+              AND mean_token_len_ppm >= 2000000),
+ex AS (SELECT MIN(doc_id) AS doc_id FROM cleaned GROUP BY text),
+ce AS (SELECT c.* FROM cleaned c JOIN ex USING (doc_id)),
+sh AS (SELECT doc_id,
+         list_distinct([{ng5} for i in range(len(toks)-4)]) AS s5 FROM ce),
+e AS (SELECT doc_id, unnest(s5) AS g, len(s5) AS n FROM sh),
+p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter,
+             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+prs AS (SELECT ia, ib FROM p WHERE inter*1.0/(na+nb-inter) >= 0.5),
+edges AS (SELECT ia AS a, ib AS b FROM prs
+          UNION SELECT ib, ia FROM prs
+          UNION SELECT ia, ia FROM prs
+          UNION SELECT ib, ib FROM prs),
+reach(na_, nb_) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.na_, e2.b FROM reach r JOIN edges e2 ON r.nb_ = e2.a
+),
+cl AS (SELECT na_ AS doc_id, MIN(nb_) AS cluster_id FROM reach GROUP BY na_),
+nd AS (SELECT ce.* FROM ce LEFT JOIN cl ON ce.doc_id = cl.doc_id
+       WHERE cl.doc_id IS NULL OR cl.doc_id = cl.cluster_id),
+bt AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 7 = 0),
+bsh AS (SELECT list_distinct([{_NG8} for i in range(len(toks)-7)]) AS s8
+        FROM bt),
+bge AS (SELECT unnest(s8) AS g FROM bsh),
+bg AS (SELECT DISTINCT g FROM bge),
+nsh AS (SELECT doc_id,
+          list_distinct([{_NG8} for i in range(len(toks)-7)]) AS s8 FROM nd),
+ne AS (SELECT doc_id, unnest(s8) AS g FROM nsh),
+cont AS (SELECT DISTINCT ne.doc_id FROM ne JOIN bg USING (g)),
+dc AS (SELECT * FROM nd
+       WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+sp AS (SELECT source, n_tokens,
+         CASE WHEN (CAST(doc_id AS UBIGINT)*2654435761) % 4294967296
+                   < {int(0.8 * (1 << 32))} THEN 'train'
+              WHEN (CAST(doc_id AS UBIGINT)*2654435761) % 4294967296
+                   < {int(0.9 * (1 << 32))} THEN 'val'
+              ELSE 'test' END AS split
+       FROM dc)
+SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM sp GROUP BY split, source ORDER BY split, source
+"""
+
+
 def q46_split_sample(sf_dir: str):
     """Deterministic train/val/test assignment + stratified sampling —
     the dataset-curation primitives: split by a Knuth multiplicative
@@ -2613,6 +2709,7 @@ def queries():
         "q60_zscore": q60_zscore,
         "q61_bigram_counts": q61_bigram_counts,
         "q62_sequence_packing": q62_sequence_packing,
+        "q63_curation_funnel": q63_curation_funnel,
     }
 
 
@@ -2664,4 +2761,5 @@ def oracle_sql():
         "q60_zscore": SQL_Q60,
         "q61_bigram_counts": SQL_Q61,
         "q62_sequence_packing": SQL_Q62,
+        "q63_curation_funnel": _q63_sql(),
     }
