@@ -29,21 +29,16 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship: document quality + language-ID + exact-dedup survivor
-    stats over the sf0.001 documents table, as one Ray Data pipeline."""
-    import pandas as pd
+    """Flagship: the end-to-end training-corpus curation funnel
+    (clean gate → exact dedup → near-dup removal → benchmark
+    decontamination → deterministic split) over the sf0.001 documents
+    table — six oracle-checked operators composed into one pipeline
+    (``searchengine_ray/pipelines/curate.py``; oracle-checked
+    end-to-end as q63).  Returns the per-(split, source) survivor
+    doc/token counts."""
+    from searchengine_ray.pipelines.curate import curation_funnel
 
-    from searchengine_ray.pipelines.queries import _read
-    from searchengine_ray.stages import text as tx
-
-    ds = _read(SF_SMOKE, "documents", ["doc_id", "text"])
-
-    def enrich(b: pd.DataFrame) -> pd.DataFrame:
-        q = tx.quality_score(b)
-        l = tx.langid(b)
-        return q.merge(l, on="doc_id")
-
-    return ds.map_batches(enrich, batch_format="pandas")
+    return curation_funnel(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
