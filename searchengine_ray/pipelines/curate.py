@@ -106,6 +106,166 @@ def _bench_ngram_hashes(ds) -> np.ndarray:
     return np.unique(pdf["h"].to_numpy(np.int64).view(np.uint64))
 
 
+def image_curation_funnel(
+    images,
+    out_dir: str | None = None,
+    min_side: int = 8,
+    max_aspect: int = 4,
+    max_hamming: int = 6,
+):
+    """Image-corpus analog of the text funnel, over the input_hint
+    table ``(image_id, bytes, w, h, fmt, caption, phash)``:
+
+        decode-validate (bytes must decode; recomputed phash must
+        match the stored column — a data-integrity gate) →
+        size/aspect gate → phash exact dedup → Hamming-near-dup
+        cluster removal (band LSH + connected components) →
+        deterministic split.
+
+    ``images`` is a ``pyarrow.Table`` or ``ray.data.Dataset``.
+    Returns per-(split, fmt) survivor counts; with ``out_dir`` writes
+    the curated image metadata (WITHOUT bytes — the payload stays in
+    its store, the curated set is an id list + metadata, exactly how
+    a 100-TB image corpus is curated) plus ``MANIFEST.json``.
+
+    Scale notes: decode runs as streamed ``map_batches`` over Arrow
+    (bytes never transit pandas); the dedup shuffles carry only
+    (phash, id, metadata) — ``bytes`` is dropped before the first
+    shuffle; near-dup drop ids broadcast (tiny side)."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from ..sources.codec import decode_image, phash64
+    from ..stages.cluster import connected_components
+    from ..stages.dedup import phash_dedup, phash_near_pairs
+    from .queries import _final_combine
+
+    ds = (
+        ray.data.from_arrow(images)
+        if isinstance(images, pa.Table)
+        else images
+    )
+    n_raw = ds.count()
+
+    def validate(b: pa.Table) -> pa.Table:
+        ok = np.zeros(len(b), bool)
+        for i in range(len(b)):  # decode is inherently per-payload
+            try:
+                px, _ = decode_image(b["bytes"][i].as_py())
+                ok[i] = (
+                    phash64(px) == b["phash"][i].as_py()
+                    and px.shape[0] == b["h"][i].as_py()
+                    and px.shape[1] == b["w"][i].as_py()
+                )
+            except Exception:
+                ok[i] = False
+        w = b["w"].to_numpy().astype(np.int64)
+        h = b["h"].to_numpy().astype(np.int64)
+        side_ok = (np.minimum(w, h) >= min_side) & (
+            np.maximum(w, h) <= max_aspect * np.minimum(w, h)
+        )
+        keep = ok & side_ok
+        # bytes are dropped HERE — nothing downstream ships payloads
+        out = b.select(
+            ["image_id", "w", "h", "fmt", "caption", "phash"]
+        ).filter(pa.array(keep))
+        iid = pa.array(
+            [int(s[3:]) for s in out["image_id"].to_pylist()], pa.int64()
+        )
+        return out.append_column("iid", iid)
+
+    valid = ds.map_batches(validate, batch_format="pyarrow").materialize()
+    n_valid = valid.count()
+
+    survivors = phash_dedup(
+        valid, keep_cols=["iid", "w", "h", "fmt", "caption"]
+    ).materialize()
+    n_exact = survivors.count()
+
+    pairs = phash_near_pairs(
+        survivors, id_col="iid", max_hamming=max_hamming
+    )
+    if isinstance(pairs, ray.data.Dataset):
+        pairs = pairs.to_pandas()
+    if len(pairs):
+        cl = connected_components(
+            ray.data.from_pandas(
+                pairs[["id_a", "id_b"]].rename(
+                    columns={"id_a": "ia", "id_b": "ib"}
+                )
+            )
+        ).to_pandas()
+        nd_drop = np.sort(
+            cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"].to_numpy(
+                np.int64
+            )
+        )
+    else:
+        nd_drop = np.zeros(0, np.int64)
+    drop_ref = ray.put(nd_drop)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        drop = ray.get(drop_ref)
+        ids = b["iid"].to_numpy(np.int64)
+        if len(drop):
+            pos = np.searchsorted(drop, ids)
+            keep = ~(
+                (pos < len(drop))
+                & (drop[np.minimum(pos, len(drop) - 1)] == ids)
+            )
+            b = b[keep]
+            ids = ids[keep]
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            1 << 32
+        )
+        split = np.where(
+            h < np.uint64(SPLIT_TRAIN),
+            "train",
+            np.where(h < np.uint64(SPLIT_VAL), "val", "test"),
+        )
+        return b.assign(split=split)
+
+    final_ds = survivors.map_batches(finalize, batch_format="pandas")
+    if out_dir is not None:
+        final_ds = final_ds.materialize()
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["split", "fmt"], as_index=False).agg(
+            n_images=("iid", "size")
+        )
+
+    counts = _final_combine(
+        final_ds.map_batches(count_partial, batch_format="pandas"),
+        ["split", "fmt"],
+        ["n_images"],
+    )
+    counts = counts.sort_values(["split", "fmt"]).reset_index(drop=True)
+
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        final_ds.select_columns(
+            ["image_id", "w", "h", "fmt", "caption", "phash", "split"]
+        ).write_parquet(out_dir)
+        manifest = {
+            "stages": {
+                "raw": int(n_raw),
+                "decoded_and_sized": int(n_valid),
+                "phash_exact_dedup": int(n_exact),
+                "neardup_dropped": int(len(nd_drop)),
+                "final": int(counts["n_images"].sum()),
+            },
+            "splits": {
+                s: int(n)
+                for s, n in counts.groupby("split")["n_images"].sum().items()
+            },
+        }
+        with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+
+    return counts
+
+
 def curation_funnel(sf_dir: str, out_dir: str | None = None):
     """Run the funnel; returns the per-(split, source) survivor table
     ``(split, source, n_docs, n_tokens)``.  With ``out_dir``, also

@@ -2421,6 +2421,24 @@ FROM sp GROUP BY split, source ORDER BY split, source
 """
 
 
+def q64_image_funnel(sf_dir: str):
+    """Image-corpus curation funnel (rows-only — binary image payloads
+    live in the deterministic synthetic store, not the sf parquet):
+    decode-validate → size/aspect gate → phash exact dedup →
+    Hamming-near-dup cluster removal → split, over a fixed
+    ``synth.gen_images`` fixture (seeded; includes planted exact
+    dups).  See ``pipelines/curate.image_curation_funnel``."""
+    from ..sources.synth import gen_images
+    from .curate import image_curation_funnel
+
+    images, _truth = gen_images(400, seed=99, dup_rate=0.05)
+    # max_hamming=2 for the synthetic fixture: its gradient tiles are
+    # all perceptually similar, so the real-corpus default (6) yields a
+    # near-complete similarity graph — a fixture artifact, not a
+    # workload property (pigeonhole still guarantees recall at d<=3)
+    return image_curation_funnel(images, max_hamming=2)
+
+
 def q46_split_sample(sf_dir: str):
     """Deterministic train/val/test assignment + stratified sampling —
     the dataset-curation primitives: split by a Knuth multiplicative
@@ -2710,6 +2728,7 @@ def queries():
         "q61_bigram_counts": q61_bigram_counts,
         "q62_sequence_packing": q62_sequence_packing,
         "q63_curation_funnel": q63_curation_funnel,
+        "q64_image_funnel": q64_image_funnel,
     }
 
 

@@ -76,3 +76,64 @@ def test_written_rows_pass_stage_invariants(funnel_out):
         pos = np.searchsorted(bh, sh)
         hit = (pos < len(bh)) & (bh[np.minimum(pos, len(bh) - 1)] == sh)
         assert not hit.any()
+
+
+def test_image_funnel_invariants(ray_session, tmp_path):
+    """Image funnel: planted exact dups are removed, undersized and
+    corrupt images are gated, splits follow the hash rule, manifest is
+    a monotone funnel."""
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.curate import image_curation_funnel
+    from searchengine_ray.sources.synth import gen_images
+
+    images, _truth = gen_images(120, seed=7, dup_rate=0.1)
+    # plant: one undersized image and one corrupt payload
+    bad = pa.table(
+        {
+            "image_id": pa.array(["img90000001", "img90000002"]),
+            "bytes": pa.array(
+                [images["bytes"][0].as_py(), b"not an image"], pa.binary()
+            ),
+            "w": pa.array([4, 16], pa.int32()),
+            "h": pa.array([4, 16], pa.int32()),
+            "fmt": pa.array(["png", "png"]),
+            "caption": pa.array(["tiny", "corrupt"]),
+            "phash": pa.array(
+                [images["phash"][0].as_py(), 0], pa.int64()
+            ),
+        }
+    )
+    inp = pa.concat_tables([images, bad])
+    out = str(tmp_path / "imgout")
+    counts = image_curation_funnel(inp, out_dir=out, max_hamming=2)
+
+    m = json.load(open(os.path.join(out, "MANIFEST.json")))
+    st = m["stages"]
+    assert st["raw"] == 122
+    # both planted bad rows gated (undersized fails the size gate even
+    # though its bytes equal a valid image's; corrupt fails decode)
+    assert st["decoded_and_sized"] <= 120
+    assert (
+        st["raw"]
+        >= st["decoded_and_sized"]
+        >= st["phash_exact_dedup"]
+        >= st["final"]
+    )
+    assert st["final"] == int(counts["n_images"].sum())
+
+    df = duckdb.sql(
+        f"SELECT image_id, phash, split FROM '{out}/*.parquet'"
+    ).df()
+    assert len(df) == st["final"]
+    assert df["phash"].nunique() == len(df)  # exact phash dedup held
+    assert "img90000001" not in set(df["image_id"])
+    assert "img90000002" not in set(df["image_id"])
+    ids = df["image_id"].str[3:].astype("int64").to_numpy()
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    want = np.where(
+        h < np.uint64(int(0.8 * (1 << 32))),
+        "train",
+        np.where(h < np.uint64(int(0.9 * (1 << 32))), "val", "test"),
+    )
+    assert (df["split"].to_numpy() == want).all()
