@@ -72,17 +72,76 @@ def _min_part(g: pd.DataFrame) -> pd.DataFrame:
     return out.astype({"node": "int64", "label": "int64"})
 
 
+def _cc_local(pairs: pd.DataFrame, col_a: str, col_b: str) -> pd.DataFrame:
+    """Driver-side vectorized min-label CC for pair lists that fit in
+    memory — the COMMON case: a near-dup pair list is already the
+    reduced output of a distributed stage (every caller ultimately
+    ``to_pandas()``es it), and the distributed rounds below pay ~2
+    sort-shuffles of fixed cost per round, which dominates end-to-end
+    time on dense small graphs (measured 17 s for a 250-node
+    near-complete graph at 8 CPUs vs ~1 ms here).  O(E) numpy per
+    round (``np.minimum.at`` edge relax + one pointer jump), O(log n)
+    rounds; labels are indices into the SORTED unique node array, so
+    min index ⇔ min doc_id and the fixpoint matches the distributed
+    path exactly."""
+    a = pairs[col_a].to_numpy(np.int64)
+    b = pairs[col_b].to_numpy(np.int64)
+    if not len(a):
+        return _empty(
+            {"doc_id": "int64", "cluster_id": "int64", "cluster_size": "int64"}
+        )
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    u, v = inv[: len(a)], inv[len(a) :]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    prev = -1
+    while True:
+        m = np.minimum(lab[u], lab[v])
+        np.minimum.at(lab, u, m)
+        np.minimum.at(lab, v, m)
+        lab = lab[lab]  # pointer jump
+        s = int(lab.sum())
+        if s == prev:  # labels monotone ⇒ unchanged sum ⇔ fixpoint
+            break
+        prev = s
+    size = np.bincount(lab, minlength=len(nodes))
+    return pd.DataFrame(
+        {
+            "doc_id": nodes,
+            "cluster_id": nodes[lab],
+            "cluster_size": size[lab].astype(np.int64),
+        }
+    )
+
+
 def connected_components(
     pairs_ds,
     col_a: str = "ia",
     col_b: str = "ib",
     max_rounds: int = 25,
+    local_max_pairs: int = 1_000_000,
 ):
     """pairs (col_a, col_b int64) → Dataset (doc_id, cluster_id,
     cluster_size); cluster_id = the component's minimum doc_id.
     Only nodes that appear in some pair are emitted (singletons are
-    trivially their own cluster and need no shuffle)."""
+    trivially their own cluster and need no shuffle).
+
+    Adaptive: pair lists ≤ ``local_max_pairs`` rows (≈16 MB at the
+    default — they were going to land on the driver anyway) run the
+    vectorized local union-find; larger graphs run the distributed
+    label-propagation rounds below.  Accepts a ``pd.DataFrame`` or a
+    ``ray.data.Dataset``; always returns a Dataset."""
+    import ray.data
     from ray.data.aggregate import Sum
+
+    if isinstance(pairs_ds, pd.DataFrame):
+        if len(pairs_ds) <= local_max_pairs:
+            return ray.data.from_pandas(_cc_local(pairs_ds, col_a, col_b))
+        pairs_ds = ray.data.from_pandas(pairs_ds)
+    else:
+        if pairs_ds.count() <= local_max_pairs:
+            return ray.data.from_pandas(
+                _cc_local(pairs_ds.to_pandas(), col_a, col_b)
+            )
 
     def to_edges(b: pd.DataFrame) -> pd.DataFrame:
         a = b[col_a].to_numpy(np.int64)

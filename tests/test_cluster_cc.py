@@ -55,3 +55,34 @@ def test_connected_components_chains_and_stars(ray_session):
     for _, r in out.iterrows():
         wl, ws = want[int(r.doc_id)]
         assert (int(r.cluster_id), int(r.cluster_size)) == (wl, ws), r.doc_id
+
+
+def test_local_and_distributed_paths_agree(ray_session):
+    """The adaptive local union-find (small pair lists) must produce
+    exactly the distributed label-propagation fixpoint."""
+    import numpy as np
+    import ray.data
+
+    from searchengine_ray.stages.cluster import connected_components
+
+    rng = np.random.default_rng(3)
+    ia = rng.integers(0, 300, 900).astype("int64")
+    ib = rng.integers(0, 300, 900).astype("int64")
+    m = ia < ib
+    df = pd.DataFrame({"ia": ia[m], "ib": ib[m]})
+
+    local = (
+        connected_components(df)  # small → local fast path
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    dist = (
+        connected_components(
+            ray.data.from_pandas(df), local_max_pairs=0  # force distributed
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(local, dist, check_dtype=False)
