@@ -80,6 +80,7 @@ ROWS_ONLY = [
     "q30_fingerprint",
     "q53_kmeans_clusters",
     "q54_weighted_sample",
+    "q64_image_funnel",
 ]
 
 
