@@ -2169,9 +2169,13 @@ def q60_zscore(sf_dir: str):
     ref = ray.put(lut)
 
     def normalize(b: pd.DataFrame, lut_: dict) -> pd.DataFrame:
-        mean = b["event_type"].map(lambda t: lut_[t][0]).to_numpy(np.float64)
-        std = b["event_type"].map(lambda t: lut_[t][1]).to_numpy(np.float64)
-        z = (_cents(b["value"]) - mean) / std
+        # dict-valued .map dispatches through a pandas hashtable (one
+        # vectorized lookup pass), not a Python call per row
+        mean = b["event_type"].map({t: v[0] for t, v in lut_.items()})
+        std = b["event_type"].map({t: v[1] for t, v in lut_.items()})
+        z = (_cents(b["value"]) - mean.to_numpy(np.float64)) / std.to_numpy(
+            np.float64
+        )
         return pd.DataFrame(
             {
                 "event_id": b["event_id"].to_numpy(np.int64),
