@@ -200,3 +200,39 @@ def test_get_page_indexed_lookup(ray_session, fixture_small, tmp_path, monkeypat
     assert len(frag_reads) == 1, frag_reads
     assert len(pay_reads) == 1, pay_reads
     assert len(reads) == len(frag_reads) + len(pay_reads) + len(idx_reads)
+
+
+def test_robots_disallow_enforced(ray_session, tmp_path):
+    """Explicit robots coverage (north-rule addition): with every host
+    carrying a disallow prefix, no blocked URL is ever fetched, the
+    rejects are counted, and engine == oracle on order + membership."""
+    images, truth = synth.gen_images(60, seed=5)
+    store = synth.gen_web(600, 60, seed=5, robots_host_rate=1.0)
+    synth.attach_captions(store, images)
+    seeds = synth.gen_seeds(store, 10, seed=5)
+    cfg = CrawlConfig(shard_count=4, per_shard_batch=60, seen_shards=2)
+    golden = simulate(seeds, store, cfg)
+    assert any(r[1] == "robots" for r in golden.rejects)  # fixture bites
+
+    from searchengine_ray.pipelines.crawl import run_crawl
+
+    res = run_crawl(
+        seeds, store, images, truth, cfg=cfg,
+        out_dir=str(tmp_path / "robots"), n_host_actors=2, n_fetch_actors=2,
+    )
+    assert _order_tuples(res.crawl_order) == golden.crawl_order
+    assert res.seen == golden.seen
+
+    # no fetched URL may fall under its host's disallow prefix
+    for u in res.crawl_order["url"].to_pylist():
+        row = int(store.lookup(np.array(
+            [__import__("searchengine_ray.functions.urlkernel",
+                        fromlist=["url_hash"]).url_hash(u)],
+            np.uint64))[0])
+        if row >= 0:
+            assert not store.robots_disallowed(row), u
+
+    # the admission ladder counted robots/quota rejects
+    assert res.metrics is not None
+    total_rej = sum(res.metrics["rejected_robots_quota"].to_pylist())
+    assert total_rej > 0
