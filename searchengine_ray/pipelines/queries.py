@@ -2443,6 +2443,92 @@ def q64_image_funnel(sf_dir: str):
     return image_curation_funnel(images, max_hamming=2)
 
 
+def q65_incremental_dedup(sf_dir: str):
+    """Incremental (snapshot-vs-batch) dedup — the daily-ingest
+    primitive, distinct from whole-corpus dedup: the existing corpus
+    snapshot is docs with ``doc_id < N/2``; the incoming batch is the
+    rest.  New docs whose text already exists in the snapshot are
+    flagged (per-source kept/dup counts).  Shape: snapshot text
+    hashes fold into a broadcast bloom (q51 machinery — broadcastable
+    where the exact 10^10-key set is not); the batch probes it per
+    streaming pass, and only bloom survivors get the exact sorted-
+    array verify.  Neither side is shuffled.  Hash equality stands in
+    for text equality (64-bit FNV, as q10)."""
+    import ray
+
+    from ..functions.hashing import fnv1a64_batch
+    from ..stages import sketch as sk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ndocs = ds.count()
+    cut = ndocs // 2
+
+    def snap_hashes(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"].to_numpy(np.int64) < cut]
+        h = fnv1a64_batch(pa.array(b["text"], type=pa.string()))
+        return pd.DataFrame({"h": np.unique(h).view(np.int64)})
+
+    snap = ds.map_batches(snap_hashes, batch_format="pandas")
+    bloom = sk.bloom_build(snap, "h", m_bits=1 << 20, k=7)
+    exact = np.unique(
+        snap.to_pandas()["h"].to_numpy(np.int64).view(np.uint64)
+    )
+    bloom_ref, exact_ref = ray.put(bloom), ray.put(exact)
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        bl = ray.get(bloom_ref)
+        b = b[b["doc_id"].to_numpy(np.int64) >= cut]
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "n_new": pd.Series([], dtype="int64"),
+                    "n_dup": pd.Series([], dtype="int64"),
+                }
+            )
+        h = fnv1a64_batch(pa.array(b["text"], type=pa.string())).view(
+            np.int64
+        )
+        cand = sk.bloom_might_contain(bl, h, 7)
+        dup = np.zeros(len(b), bool)
+        if cand.any():
+            ex = ray.get(exact_ref)
+            hv = h[cand].view(np.uint64)
+            pos = np.searchsorted(ex, hv)
+            dup[np.nonzero(cand)[0]] = (pos < len(ex)) & (
+                ex[np.minimum(pos, len(ex) - 1)] == hv
+            )
+        return pd.DataFrame(
+            {"source": b["source"], "n_new": (~dup).astype(np.int64),
+             "n_dup": dup.astype(np.int64)}
+        ).groupby("source", as_index=False).agg(
+            n_new=("n_new", "sum"), n_dup=("n_dup", "sum")
+        )
+
+    out = _final_combine(
+        ds.map_batches(probe, batch_format="pandas"),
+        ["source"],
+        ["n_new", "n_dup"],
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _q65_sql() -> str:
+    return """
+WITH n AS (SELECT COUNT(*) // 2 AS cut FROM documents),
+snap AS (SELECT DISTINCT text FROM documents, n WHERE doc_id < cut),
+batch AS (SELECT doc_id, text, source FROM documents, n
+          WHERE doc_id >= cut)
+SELECT source,
+       CAST(SUM(CASE WHEN snap.text IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN snap.text IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_dup
+FROM batch LEFT JOIN snap USING (text)
+GROUP BY source ORDER BY source
+"""
+
+
 def q46_split_sample(sf_dir: str):
     """Deterministic train/val/test assignment + stratified sampling —
     the dataset-curation primitives: split by a Knuth multiplicative
@@ -2733,6 +2819,7 @@ def queries():
         "q62_sequence_packing": q62_sequence_packing,
         "q63_curation_funnel": q63_curation_funnel,
         "q64_image_funnel": q64_image_funnel,
+        "q65_incremental_dedup": q65_incremental_dedup,
     }
 
 
@@ -2785,4 +2872,5 @@ def oracle_sql():
         "q61_bigram_counts": SQL_Q61,
         "q62_sequence_packing": SQL_Q62,
         "q63_curation_funnel": _q63_sql(),
+        "q65_incremental_dedup": _q65_sql(),
     }
