@@ -2529,6 +2529,71 @@ GROUP BY source ORDER BY source
 """
 
 
+def q66_rolling_window(sf_dir: str):
+    """Per-user 5-row rolling sums (window ``ROWS BETWEEN 4 PRECEDING
+    AND CURRENT ROW``) — completes the window-function family
+    (cumulative q58, event-time RANGE q42, rank q56): hash-partition
+    by user so each history lands whole, then ONE vectorized pass per
+    partition — rolling sum = cumsum minus its own 5-lagged shift,
+    reset at user boundaries (no per-row loop, no global sort).
+    Cents-int math keeps every window exact."""
+    W = 5
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    npart = _ncpus()
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(np.int64),
+                "ts": b["ts"],
+                "user_id": b["user_id"].to_numpy(np.int64),
+                "cents": _cents(b["value"]),
+                "part": (
+                    b["user_id"].to_numpy(np.int64) % npart
+                ).astype(np.int64),
+            }
+        )
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        c = g["cents"].to_numpy(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        # start index of each row's user run
+        run_start = np.zeros(len(g), np.int64)
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        run_start[new] = np.arange(len(g))[new]
+        run_start = np.maximum.accumulate(run_start)
+        lo = np.maximum(np.arange(len(g)) - (W - 1), run_start)
+        roll_sum = cum - np.where(lo > 0, cum[lo - 1], 0)
+        # rows whose window would cross a user boundary clamp at the
+        # run start — matching SQL's per-partition ROWS frame
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "user_id": uid,
+                "roll_cents": roll_sum.astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby("part")
+        .map_groups(roll, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_Q66 = """
+SELECT event_id, user_id,
+       SUM(CAST(ROUND(value*100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_cents
+FROM events
+"""
+
+
 def q46_split_sample(sf_dir: str):
     """Deterministic train/val/test assignment + stratified sampling —
     the dataset-curation primitives: split by a Knuth multiplicative
@@ -2820,6 +2885,7 @@ def queries():
         "q63_curation_funnel": q63_curation_funnel,
         "q64_image_funnel": q64_image_funnel,
         "q65_incremental_dedup": q65_incremental_dedup,
+        "q66_rolling_window": q66_rolling_window,
     }
 
 
@@ -2873,4 +2939,5 @@ def oracle_sql():
         "q62_sequence_packing": SQL_Q62,
         "q63_curation_funnel": _q63_sql(),
         "q65_incremental_dedup": _q65_sql(),
+        "q66_rolling_window": SQL_Q66,
     }
