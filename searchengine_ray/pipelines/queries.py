@@ -2594,6 +2594,63 @@ FROM events
 """
 
 
+def q67_salted_groupby(sf_dir: str):
+    """Hot-key salting, demonstrated end-to-end: ``event_type`` has
+    only 5 values, so a plain hash-partitioned groupby would land 20 %
+    of ALL events in one partition (the hot-key worst case at 100 TB).
+    Stage 1 groups by (key, salt) with salt = event_id % NSALT — every
+    partition receives ~1/(5·NSALT) of the data; stage 2 folds the
+    5·NSALT partial rows by key (tiny).  Exact for associative
+    aggregates; for the catalog's non-associative finishers the same
+    salting applies to the PARTIAL stage only (see `_part_groupby`'s
+    combiner-first note).  Oracle = the plain GROUP BY."""
+    NSALT = 8
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "salt": (b["event_id"].to_numpy(np.int64) % NSALT).astype(
+                    np.int64
+                ),
+                "cents": _cents(b["value"]),
+            }
+        )
+        g = df.groupby(["event_type", "salt"], as_index=False).agg(
+            n=("cents", "size"),
+            sum_cents=("cents", "sum"),
+            max_cents=("cents", "max"),
+        )
+        return g
+
+    salted = _part_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "salt"],
+        {"n": "sum", "sum_cents": "sum", "max_cents": "max"},
+    )
+
+    # driver fold over the 5·NSALT partial rows (NOT _final_combine,
+    # which sums every column — max must fold by max)
+    pdf = salted.to_pandas()
+    out = pdf.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"),
+        sum_cents=("sum_cents", "sum"),
+        max_cents=("max_cents", "max"),
+    )
+    for c in ["n", "sum_cents", "max_cents"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_Q67 = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents,
+       MAX(CAST(ROUND(value*100) AS BIGINT)) AS max_cents
+FROM events GROUP BY event_type
+"""
+
+
 def q46_split_sample(sf_dir: str):
     """Deterministic train/val/test assignment + stratified sampling —
     the dataset-curation primitives: split by a Knuth multiplicative
@@ -2886,6 +2943,7 @@ def queries():
         "q64_image_funnel": q64_image_funnel,
         "q65_incremental_dedup": q65_incremental_dedup,
         "q66_rolling_window": q66_rolling_window,
+        "q67_salted_groupby": q67_salted_groupby,
     }
 
 
@@ -2940,4 +2998,5 @@ def oracle_sql():
         "q63_curation_funnel": _q63_sql(),
         "q65_incremental_dedup": _q65_sql(),
         "q66_rolling_window": SQL_Q66,
+        "q67_salted_groupby": SQL_Q67,
     }
