@@ -2651,6 +2651,75 @@ FROM events GROUP BY event_type
 """
 
 
+def q68_windowed_event_dedup(sf_dir: str):
+    """Windowed event dedup (telemetry semantics): an event is a
+    duplicate if the same (user, type) fired within the previous
+    hour — the streaming-dedup rule every event pipeline applies at
+    ingest.  Hash-partition by (user, type) so each stream lands
+    whole, then ONE vectorized pass per partition: sort, per-group
+    timestamp diff, keep gaps > 1 h (group firsts always kept).
+    Output: per-type kept/dropped counts (int-exact)."""
+    GAP_US = 3_600_000_000  # 1 h in microseconds
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    npart = _ncpus()
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import fnv1a64_batch, fnv1a64_fixed, hash_combine
+
+        uid = b["user_id"].to_numpy(np.int64)
+        mat = np.ascontiguousarray(uid.astype("<u8")).view(np.uint8)
+        h = hash_combine(
+            fnv1a64_fixed(mat.reshape(len(b), 8)),
+            fnv1a64_batch(b["event_type"].to_numpy().astype("U")),
+        )
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(np.int64),
+                "ts": b["ts"],
+                "user_id": uid,
+                "event_type": b["event_type"],
+                "part": (h % np.uint64(npart)).astype(np.int64),
+            }
+        )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        us = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        same = np.r_[False, (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])]
+        gap = np.r_[np.int64(0), us[1:] - us[:-1]]
+        keep = ~same | (gap > GAP_US)
+        out = pd.DataFrame({"event_type": et, "kept": keep.astype(np.int64)})
+        return out.assign(dropped=(1 - out["kept"]).astype(np.int64)).groupby(
+            "event_type", as_index=False
+        ).agg(n_kept=("kept", "sum"), n_dropped=("dropped", "sum"))
+
+    out = _final_combine(
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby("part")
+        .map_groups(dedup, batch_format="pandas"),
+        ["event_type"],
+        ["n_kept", "n_dropped"],
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_Q68 = """
+WITH g AS (
+  SELECT event_type,
+         ts - lag(ts) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT event_type,
+       CAST(SUM(CASE WHEN gap IS NULL OR gap > INTERVAL 1 HOUR
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN gap IS NULL OR gap > INTERVAL 1 HOUR
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM g GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q46_split_sample(sf_dir: str):
     """Deterministic train/val/test assignment + stratified sampling —
     the dataset-curation primitives: split by a Knuth multiplicative
@@ -2944,6 +3013,7 @@ def queries():
         "q65_incremental_dedup": q65_incremental_dedup,
         "q66_rolling_window": q66_rolling_window,
         "q67_salted_groupby": q67_salted_groupby,
+        "q68_windowed_event_dedup": q68_windowed_event_dedup,
     }
 
 
@@ -2999,4 +3069,5 @@ def oracle_sql():
         "q65_incremental_dedup": _q65_sql(),
         "q66_rolling_window": SQL_Q66,
         "q67_salted_groupby": SQL_Q67,
+        "q68_windowed_event_dedup": SQL_Q68,
     }
