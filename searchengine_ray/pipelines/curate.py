@@ -56,7 +56,6 @@ def _clean_gate(b: pd.DataFrame) -> pd.DataFrame:
     """q37's oracle-checked clean gate (integer-ppm thresholds), minus
     the benchmark holdout; keeps the corpus payload columns."""
     from ..stages import text as tx
-    from ..stages.text import STOPWORDS
 
     b = b[b["doc_id"].to_numpy(np.int64) % BENCH_MOD != 0]
     if not len(b):
@@ -68,18 +67,16 @@ def _clean_gate(b: pd.DataFrame) -> pd.DataFrame:
                 "n_tokens": pd.Series([], dtype="int64"),
             }
         )
-    lang = tx.langid(b)
-    toks = tx.tokenize_series(b["text"])
-    n = toks.str.len().astype("int64")
-    stop = toks.map(lambda t: sum(w in STOPWORDS for w in t)).astype("int64")
-    chars = toks.map(lambda t: sum(len(w) for w in t)).astype("int64")
-    stop_ppm = stop * 1_000_000 // n.clip(lower=1)
-    mean_len_ppm = chars * 1_000_000 // n.clip(lower=1)
+    p = tx.text_profile(b["text"], with_distinct=False)
+    n = pd.Series(p["n_tokens"], index=b.index)
+    nc = np.maximum(p["n_tokens"], 1)
+    stop_ppm = p["stop_cnt"] * 1_000_000 // nc
+    mean_len_ppm = p["tok_chars"] * 1_000_000 // nc
     keep = (
-        (lang["lang_pred"].to_numpy() == "en")
-        & (n.to_numpy() >= 5)
-        & (stop_ppm.to_numpy() <= 500_000)
-        & (mean_len_ppm.to_numpy() >= 2_000_000)
+        (p["lang_pred"] == "en")
+        & (p["n_tokens"] >= 5)
+        & (stop_ppm <= 500_000)
+        & (mean_len_ppm >= 2_000_000)
     )
     out = pd.DataFrame(
         {

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
@@ -36,23 +37,19 @@ def clean_batch(b: pd.DataFrame) -> pd.DataFrame:
     stopword-profile langid, >= 5 tokens, stopword ratio <= 0.5,
     mean token length >= 2.0 (integer ppm)."""
     from ..stages import text as tx
-    from ..stages.text import STOPWORDS
 
-    lang = tx.langid(b)
-    toks = tx.tokenize_series(b["text"])
-    n = toks.str.len().astype("int64")
-    stop = toks.map(lambda t: sum(w in STOPWORDS for w in t)).astype("int64")
-    chars = toks.map(lambda t: sum(len(w) for w in t)).astype("int64")
-    stop_ppm = stop * 1_000_000 // n.clip(lower=1)
-    mean_len_ppm = chars * 1_000_000 // n.clip(lower=1)
+    p = tx.text_profile(b["text"], with_distinct=False)
+    nc = np.maximum(p["n_tokens"], 1)
+    stop_ppm = p["stop_cnt"] * 1_000_000 // nc
+    mean_len_ppm = p["tok_chars"] * 1_000_000 // nc
     keep = (
-        (lang["lang_pred"].to_numpy() == "en")
-        & (n.to_numpy() >= 5)
-        & (stop_ppm.to_numpy() <= 500_000)
-        & (mean_len_ppm.to_numpy() >= 2_000_000)
+        (p["lang_pred"] == "en")
+        & (p["n_tokens"] >= 5)
+        & (stop_ppm <= 500_000)
+        & (mean_len_ppm >= 2_000_000)
     )
     out = b[["doc_id", "text"]].copy()
-    out["n_tokens"] = n
+    out["n_tokens"] = p["n_tokens"]
     out["stopword_ppm"] = stop_ppm
     out["mean_token_len_ppm"] = mean_len_ppm
     return out[keep]

@@ -600,18 +600,16 @@ def q13_quality(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
-        toks = tx.tokenize_series(b["text"])
-        n = toks.str.len().astype("int64")
-        stop = toks.map(lambda t: sum(w in STOPWORDS for w in t)).astype("int64")
-        distinct = toks.map(lambda t: len(set(t))).astype("int64")
-        chars = toks.map(lambda t: sum(len(w) for w in t)).astype("int64")
+        p = tx.text_profile(b["text"])
+        n = p["n_tokens"]
+        nc = np.maximum(n, 1)
         out = pd.DataFrame(
             {
                 "doc_id": b["doc_id"],
                 "n_tokens": n,
-                "stopword_ppm": stop * 1_000_000 // n.clip(lower=1),
-                "type_token_ppm": distinct * 1_000_000 // n.clip(lower=1),
-                "mean_token_len_ppm": chars * 1_000_000 // n.clip(lower=1),
+                "stopword_ppm": p["stop_cnt"] * 1_000_000 // nc,
+                "type_token_ppm": p["n_distinct"] * 1_000_000 // nc,
+                "mean_token_len_ppm": p["tok_chars"] * 1_000_000 // nc,
             }
         )
         return out[n > 0]
@@ -1341,18 +1339,16 @@ def q37_clean_corpus(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def clean(b: pd.DataFrame) -> pd.DataFrame:
-        lang = tx.langid(b)
-        toks = tx.tokenize_series(b["text"])
-        n = toks.str.len().astype("int64")
-        stop = toks.map(lambda t: sum(w in STOPWORDS for w in t)).astype("int64")
-        chars = toks.map(lambda t: sum(len(w) for w in t)).astype("int64")
-        stop_ppm = stop * 1_000_000 // n.clip(lower=1)
-        mean_len_ppm = chars * 1_000_000 // n.clip(lower=1)
+        p = tx.text_profile(b["text"], with_distinct=False)
+        n = p["n_tokens"]
+        nc = np.maximum(n, 1)
+        stop_ppm = p["stop_cnt"] * 1_000_000 // nc
+        mean_len_ppm = p["tok_chars"] * 1_000_000 // nc
         keep = (
-            (lang["lang_pred"].to_numpy() == "en")
-            & (n.to_numpy() >= 5)
-            & (stop_ppm.to_numpy() <= 500_000)
-            & (mean_len_ppm.to_numpy() >= 2_000_000)
+            (p["lang_pred"] == "en")
+            & (n >= 5)
+            & (stop_ppm <= 500_000)
+            & (mean_len_ppm >= 2_000_000)
         )
         out = pd.DataFrame(
             {
