@@ -686,10 +686,68 @@ LIMIT 10
 
 
 def q16_minhash_pairs(sf_dir: str):
-    """MinHash+LSH near-dup candidates (rows-only check: LSH banding
-    is not SQL-expressible)."""
+    """MinHash+LSH near-dup pairs, EXACT-verified (round 4 — now
+    driver-oracle-checkable): LSH (64 perms × 32 bands over 3-token
+    shingles) generates candidate pairs; the verify step computes
+    exact shingle-set Jaccard over just the candidate docs with q18's
+    distributed pair engine and keeps candidates ≥ 0.5.  The result
+    equals the full exact 3-gram Jaccard pair list whenever LSH
+    candidate recall is total — with r=2 a J=0.5 pair escapes all 32
+    bands with probability (1−J²)^32 ≈ 1e-4 — which the DuckDB oracle
+    checks directly.  Scale shape: the corpus streams through the LSH
+    sketch; only the candidate doc-id set (result-sized) broadcasts
+    into the verify filter."""
+    import ray
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dd.minhash_lsh_pairs(ds, threshold=0.5)
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+    cand = dd.minhash_lsh_candidates(ds, bands=32, shingle_k=3)
+    if cand.empty:
+        return empty
+    ids_ref = ray.put(
+        np.unique(
+            np.concatenate(
+                [cand["id_a"].to_numpy(np.int64), cand["id_b"].to_numpy(np.int64)]
+            )
+        )
+    )
+
+    def filt(b: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(ids_ref)
+        got = b["doc_id"].to_numpy(np.int64)
+        pos = np.searchsorted(ids, got)
+        keep = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == got)
+        return b[keep]
+
+    sub = ds.map_batches(filt, batch_format="pandas")
+    pairs = jaccard_pairs_from(sub, K=3, threshold=0.5)
+    if pairs.empty:
+        return empty
+    ckey = set(zip(cand["id_a"], cand["id_b"]))  # result-sized
+    mask = [(a, b) in ckey for a, b in zip(pairs["ia"], pairs["ib"])]
+    out = pairs[np.array(mask, bool)].rename(
+        columns={"ia": "id_a", "ib": "id_b"}
+    )
+    return out.reset_index(drop=True)
+
+
+SQL_Q16 = """
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct([toks[i+1]||' '||toks[i+2]||' '||toks[i+3]
+        for i in range(len(toks)-2)]) AS s FROM t),
+e AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(inter*1.0/(na+nb-inter), 6) AS jaccard
+FROM p WHERE inter*1.0/(na+nb-inter) >= 0.5
+""".replace("{_TOKS}", _TOKS)
 
 
 def q17_simhash(sf_dir: str):
@@ -3030,6 +3088,7 @@ def oracle_sql():
         "q13_quality": SQL_Q13,
         "q14_langid": _langid_sql(),
         "q15_embedding_topk": SQL_Q15,
+        "q16_minhash_pairs": SQL_Q16,
         "q18_jaccard_pairs": SQL_Q18,
         "q19_sessionize": SQL_Q19,
         "q22_inverted_index": SQL_Q22,

@@ -230,27 +230,20 @@ def lsh_bands(
     )
 
 
-def minhash_lsh_pairs(
+def _lsh_candidate_stages(
     ds,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
-    threshold: float = 0.7,
     seed: int = 7,
 ):
-    """shingle → minhash → band buckets → candidate pairs → verify
-    estimated Jaccard ≥ threshold.  Returns dataset of
-    (id_a, id_b, jaccard_est) with id_a < id_b."""
+    """Shared LSH front half: shingle → minhash → band buckets →
+    per-bucket self-merge.  Returns (cand, sig_pack) datasets —
+    ``cand`` is the candidate pair list (id_a < id_b; may repeat
+    across band partitions), ``sig_pack`` the packed signatures."""
     npart = _ncpus()
-    empty = pd.DataFrame(
-        {
-            "id_a": pd.Series([], dtype="int64"),
-            "id_b": pd.Series([], dtype="int64"),
-            "jaccard_est": pd.Series([], dtype="float64"),
-        }
-    )
 
     sig_pack = ds.map_batches(
         lambda b: minhash_signatures(
@@ -292,6 +285,66 @@ def minhash_lsh_pairs(
         sig_pack.map_batches(bands_part, batch_format="pandas")
         .groupby("part")
         .map_groups(partition_pairs, batch_format="pandas")
+    )
+    return cand, sig_pack
+
+
+def minhash_lsh_candidates(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """Deduplicated LSH candidate pairs as a (small) pandas frame —
+    the result-sized side an exact-verify pass broadcasts against.
+    Default bands=32 (r=2): a J=0.5 pair escapes all bands with
+    probability (1−J²)^32 ≈ 1e-4, so candidate recall at the q16
+    verify threshold is effectively total; the exact-Jaccard verify
+    removes the extra false positives r=2 lets through."""
+    cand, _sig = _lsh_candidate_stages(
+        ds, text_col, id_col, num_perm, bands, shingle_k, seed
+    )
+    out = cand.to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+            }
+        )
+    return (
+        out.drop_duplicates(["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+def minhash_lsh_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 7,
+):
+    """shingle → minhash → band buckets → candidate pairs → verify
+    estimated Jaccard ≥ threshold.  Returns dataset of
+    (id_a, id_b, jaccard_est) with id_a < id_b."""
+    npart = _ncpus()
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "jaccard_est": pd.Series([], dtype="float64"),
+        }
+    )
+    cand, sig_pack = _lsh_candidate_stages(
+        ds, text_col, id_col, num_perm, bands, shingle_k, seed
     )
 
     # distributed verify: co-locate each candidate pair with its two

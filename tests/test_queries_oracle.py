@@ -71,7 +71,6 @@ def test_query_matches_oracle(ray_session, con, name):
 
 
 ROWS_ONLY = [
-    "q16_minhash_pairs",
     "q17_simhash",
     "q20_phash_dedup",
     "q24_multimodal",
