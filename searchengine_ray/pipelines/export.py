@@ -82,13 +82,43 @@ def _etl_fragment(file: str, rg: int, out_dir: str, k: int) -> int:
     return len(kept)
 
 
+def check_worklist(out_dir: str, units: list[str]) -> None:
+    """Pin the resumable work list to the output directory.
+
+    Part numbers are positional over the unit list, so a resume
+    against a CHANGED input set (file added/removed, row-group count
+    moved) would silently map committed part numbers onto different
+    fragments — data loss with no error.  First run writes
+    ``_WORKLIST.json`` (atomic rename); a resume compares the current
+    unit list against it and refuses to proceed on any divergence."""
+    import json
+
+    wl = os.path.join(out_dir, "_WORKLIST.json")
+    if os.path.exists(wl):
+        with open(wl) as f:
+            prev = json.load(f)
+        if prev != units:
+            raise ValueError(
+                f"resume refused: input work list diverged from {wl} "
+                f"({len(prev)} recorded vs {len(units)} current units); "
+                "the committed part numbers would map onto different "
+                "fragments — use a fresh out_dir or restore the inputs"
+            )
+        return
+    tmp = wl + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(units, f)
+    os.replace(tmp, wl)
+
+
 def corpus_etl(sf_dir: str, out_dir: str) -> dict:
     """Run (or resume) the corpus ETL.  Returns {parts, skipped, rows}.
 
     A part-K parquet that already exists is a committed fragment —
     skipped on resume (the atomic rename guarantees no torn parts;
     a crash mid-write leaves only a ``.tmp`` that is ignored and
-    overwritten)."""
+    overwritten).  The fragment list is pinned via ``check_worklist``
+    so a resume against changed inputs fails loudly."""
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
@@ -99,6 +129,7 @@ def corpus_etl(sf_dir: str, out_dir: str) -> dict:
         if p.endswith(".tmp"):
             os.remove(os.path.join(out_dir, p))
     frags = _fragments(sf_dir)
+    check_worklist(out_dir, [f"{f}::rg{rg}" for f, rg in frags])
     task = ray.remote(num_cpus=1)(_etl_fragment)
     futs, skipped = [], 0
     for k, (f, rg) in enumerate(frags):

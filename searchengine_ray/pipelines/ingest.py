@@ -116,6 +116,9 @@ def ingest_documents(inputs: list[str] | str, out_dir: str) -> dict:
     for p in os.listdir(out_dir):
         if p.endswith(".tmp"):  # torn writes from a crashed run
             os.remove(os.path.join(out_dir, p))
+    from .export import check_worklist
+
+    check_worklist(out_dir, list(inputs))
     task = ray.remote(num_cpus=1)(_ingest_file)
     futs, skipped = [], 0
     for k, f in enumerate(inputs):

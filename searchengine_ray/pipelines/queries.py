@@ -870,7 +870,9 @@ def q19_sessionize(sf_dir: str):
 
     def sess(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
-        us = g["ts"].astype("int64").to_numpy()
+        # normalize to microseconds BEFORE int64 (an ns-typed block
+        # would make every gap 1000x the 30-min constant)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         brk = (np.diff(us) > 1_800_000_000).sum() if len(us) > 1 else 0
         return pd.DataFrame(
             {
@@ -2738,7 +2740,9 @@ def q68_windowed_event_dedup(sf_dir: str):
 
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
-        us = g["ts"].astype("int64").to_numpy()
+        # microsecond-normalized (temporal.py convention) so GAP_US
+        # compares in the right unit even for ns-typed blocks
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         uid = g["user_id"].to_numpy(np.int64)
         et = g["event_type"].to_numpy()
         same = np.r_[False, (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])]

@@ -254,6 +254,17 @@ def connected_components(
         if prev_sum is not None and s == prev_sum:
             break
         prev_sum = s
+    else:
+        # the for-loop exhausted max_rounds without the fixpoint —
+        # labels are still moving and the result would be silently
+        # split clusters.  Pointer jumping converges in O(log
+        # diameter) rounds, so this is unreachable for any realistic
+        # graph; fail loudly rather than return partial labels.
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"{max_rounds} rounds (monotone-sum {prev_sum}); raise "
+            "max_rounds — refusing to return partially-merged clusters"
+        )
 
     def finalize_part(g: pd.DataFrame) -> pd.DataFrame:
         # one partition of whole clusters (partitioned by label, so a

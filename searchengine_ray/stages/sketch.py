@@ -298,13 +298,19 @@ def global_quantiles(
                              "value": pd.Series([], dtype=np.int64)})
     targets = [(int(round(q * 1_000_000)), max(1, math.ceil(q * n))) for q in qs]
 
-    def hist_pass(rlo: int, rhi: int, nb: int) -> np.ndarray:
-        width = rhi - rlo + 1
+    def hist_pass(rlo: int, rhi: int, nb: int, shift: int) -> np.ndarray:
+        # power-of-two bin widths: binidx = (v - rlo) >> shift computed
+        # in uint64, so ANY int64 value range is exact — the former
+        # (v - rlo) * nb // width int64 product overflowed once
+        # width * nb reached 2^63 (e.g. microsecond-timestamp columns)
+        off = np.uint64(rlo & 0xFFFFFFFFFFFFFFFF)
+        sh = np.uint64(shift)
 
         def p(b: pd.DataFrame) -> pd.DataFrame:
             v = b[column].to_numpy().astype(np.int64)
             v = v[(v >= rlo) & (v <= rhi)]
-            binidx = (v - rlo) * nb // width
+            with np.errstate(over="ignore"):
+                binidx = ((v.view(np.uint64) - off) >> sh).astype(np.int64)
             return pd.DataFrame({"h": [np.bincount(binidx, minlength=nb)
                                        .astype(np.int64).tobytes()]})
 
@@ -317,25 +323,25 @@ def global_quantiles(
     pend = [(rank, lo, hi) for _, rank in targets]  # rank is global 1-indexed
     resolved: dict[int, int] = {}  # rank -> value
 
-    def bin_bounds(rlo, rhi, nb, i):
-        width = rhi - rlo + 1
-        blo = rlo + -(-i * width // nb)  # ceil(i*width/nb)
-        # smallest v with (v-rlo)*nb//width == i is ceil(i*width/nb)+rlo
-        bhi = rlo + ((i + 1) * width - 1) // nb  # largest such v
-        return blo, min(bhi, rhi)
+    def bin_bounds(rlo, rhi, shift, i):
+        # bin i covers [rlo + i*2^shift, rlo + (i+1)*2^shift - 1]
+        blo = rlo + (i << shift)
+        return blo, min(rlo + ((i + 1) << shift) - 1, rhi)
 
     while pend:
         # group pending targets by identical range so one pass serves all
         (rank0, rlo, rhi) = pend[0]
         group = [t for t in pend if t[1] == rlo and t[2] == rhi]
         pend = [t for t in pend if not (t[1] == rlo and t[2] == rhi)]
-        nb = min(bins, rhi - rlo + 1)
-        h = hist_pass(rlo, rhi, nb)
+        width = rhi - rlo + 1  # Python int: exact for any int64 range
+        shift = max(0, (width - 1).bit_length() - max(1, bins.bit_length() - 1))
+        nb = -(-width >> shift) if shift else width  # ceil(width / 2^shift)
+        h = hist_pass(rlo, rhi, nb, shift)
         csum = np.cumsum(h)
         collect_bins = []
         for rank, _, _ in group:
             i = int(np.searchsorted(csum, rank))
-            blo, bhi = bin_bounds(rlo, rhi, nb, i)
+            blo, bhi = bin_bounds(rlo, rhi, shift, i)
             below = int(csum[i - 1]) if i > 0 else 0
             inbin = int(h[i])
             if blo == bhi:

@@ -150,3 +150,32 @@ def test_ingest_rejects_textless_file(tmp_path):
 
     with _pytest.raises(ValueError, match="no text column"):
         normalize_documents(pa.table({"x": [1]}), "bad.csv")
+
+
+def test_resume_refuses_diverged_worklist(ray_session, tmp_path):
+    """ADVICE round-3: positional part ids must not silently remap when
+    the input set changes between runs — resume must fail loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import pytest as _pytest
+
+    from searchengine_ray.pipelines.export import corpus_etl
+
+    sf = str(tmp_path / "in")
+    doc_dir = os.path.join(sf, "documents.parquet")
+    os.makedirs(doc_dir)
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    pq_.write_table(src.slice(0, 200), os.path.join(doc_dir, "a.parquet"))
+    pq_.write_table(src.slice(200, 200), os.path.join(doc_dir, "b.parquet"))
+    out = str(tmp_path / "out")
+    corpus_etl(sf, out)
+    # same inputs: resume succeeds and skips everything
+    r = corpus_etl(sf, out)
+    assert r["skipped"] == r["parts"] and r["rows_written"] == 0
+    # diverged inputs: a third file appears → refuse, don't remap
+    pq_.write_table(
+        pa.table({"doc_id": [999999], "text": ["the new doc"]}),
+        os.path.join(doc_dir, "aa-early.parquet"),
+    )
+    with _pytest.raises(ValueError, match="resume refused"):
+        corpus_etl(sf, out)

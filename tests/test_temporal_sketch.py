@@ -369,3 +369,30 @@ def test_weighted_sample_favors_heavy_and_skips_zero(ray_session):
     got = weighted_sample(ray.data.from_pandas(df).repartition(4), 10, "w")
     assert 0 in set(got["doc_id"])      # overwhelming weight always sampled
     assert 199 not in set(got["doc_id"])  # zero weight never sampled
+
+
+def test_global_quantiles_huge_range_no_overflow(ray_session):
+    """ADVICE round-3 regression: value ranges wider than ~2^47 used to
+    overflow the int64 (v-lo)*nb product and silently misplace bins.
+    Decade-spanning microsecond timestamps + int64-extreme values."""
+    import ray.data
+
+    from searchengine_ray.stages.sketch import global_quantiles
+
+    rng = np.random.default_rng(5)
+    # ~10 years of microseconds (~3.2e14 range) plus extreme outliers
+    vals = rng.integers(1_500_000_000_000_000, 1_800_000_000_000_000,
+                        size=4000, dtype=np.int64)
+    vals = np.concatenate([vals, np.array(
+        [-(1 << 62), (1 << 62), 0], dtype=np.int64)])
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    got = global_quantiles(ds, "v", qs, bins=1 << 10, max_collect=500)
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    for q, row in zip(qs, got.itertuples()):
+        want = con.execute(
+            f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        assert row.value == want, (q, row.value, want)
