@@ -80,21 +80,25 @@ def cosine_topk(ds, query_vecs, k: int = 10, id_col="vec_id", emb_col="embedding
 
 
 def ivf_build_centroids(ds, n_centroids: int, emb_col="embedding",
-                        seed: int = 11, sample: int = 4096, iters: int = 5):
-    """k-means-lite centroids from a driver-side sample (centroids are
-    the broadcast small side; the full table never materializes)."""
-    pdf = ds.limit(sample).to_pandas()
-    x = _normalize(np.stack(pdf[emb_col].to_numpy()))
-    rng = np.random.default_rng(seed)
-    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(x @ cent.T, axis=1)
-        for c in range(len(cent)):
-            m = assign == c
-            if m.any():
-                v = x[m].mean(axis=0)
-                cent[c] = v / max(np.linalg.norm(v), 1e-12)
-    return cent
+                        seed: int = 11, sample: int = 4096, iters: int = 8):
+    """Spherical-k-means IVF centroids via the distributed Lloyd
+    engine (the q53 ``kmeans`` machinery): L2-normalize the column,
+    run full-table k-means (farthest-first init over a sample, then
+    streaming (sum, count) partials — the table is never shuffled),
+    re-normalize the centroids onto the sphere.  Round 4: replaces
+    the old driver-side row-sample Lloyd, whose centroids could miss
+    whole modes the sample under-represented (lower recall)."""
+
+    def norm_batch(b: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(np.stack(b[emb_col].to_numpy()))
+        return pd.DataFrame({emb_col: list(m)})
+
+    normed = ds.map_batches(norm_batch, batch_format="pandas")
+    cent, _iters = kmeans(
+        normed, n_centroids, emb_col=emb_col, iters=iters, seed=seed,
+        sample=sample,
+    )
+    return _normalize(cent)
 
 
 def ivf_topk(ds, query_vecs, centroids, k: int = 10, n_probe: int = 4,
