@@ -3003,6 +3003,13 @@ def q43_hll_distinct(sf_dir: str):
 
 
 def queries():
+    """Catalog of every implemented pipeline/operator.
+
+    Ordering contract: SQL-oracle-checked queries first (the
+    driver's correctness gate records at most 50 entries in
+    catalog order, so the oracle-checkable ones must occupy that
+    window), rows-only queries after — see COVERAGE.md §"rows-only
+    adjudication" for WHY each rows-only query has no oracle."""
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_top_orders": q02_top_orders,
@@ -3020,23 +3027,11 @@ def queries():
         "q14_langid": q14_langid,
         "q15_embedding_topk": q15_embedding_topk,
         "q16_minhash_pairs": q16_minhash_pairs,
-        "q17_simhash": q17_simhash,
         "q18_jaccard_pairs": q18_jaccard_pairs,
         "q19_sessionize": q19_sessionize,
-        "q20_phash_dedup": q20_phash_dedup,
-        "q21_crawl_order": q21_crawl_order,
         "q22_inverted_index": q22_inverted_index,
-        "q23_search": q23_search,
-        "q24_multimodal": q24_multimodal,
-        "q25_pagerank": q25_pagerank,
         "q26_brand_volume": q26_brand_volume,
         "q27_best_order_per_customer": q27_best_order_per_customer,
-        "q28_ivf_topk": q28_ivf_topk,
-        "q29_embedding_neardup": q29_embedding_neardup,
-        "q30_fingerprint": q30_fingerprint,
-        "q31_top_hosts": q31_top_hosts,
-        "q32_crawl_rank_index_search": q32_crawl_rank_index_search,
-        "q33_phash_near_dedup": q33_phash_near_dedup,
         "q34_region_revenue": q34_region_revenue,
         "q35_props_extract": q35_props_extract,
         "q36_supplier_balance": q36_supplier_balance,
@@ -3046,7 +3041,6 @@ def queries():
         "q40_asof_join": q40_asof_join,
         "q41_value_percentiles": q41_value_percentiles,
         "q42_sliding_window": q42_sliding_window,
-        "q43_hll_distinct": q43_hll_distinct,
         "q44_range_join": q44_range_join,
         "q45_tfidf_terms": q45_tfidf_terms,
         "q46_split_sample": q46_split_sample,
@@ -3056,8 +3050,6 @@ def queries():
         "q50_price_quantiles": q50_price_quantiles,
         "q51_bloom_semijoin": q51_bloom_semijoin,
         "q52_length_band_filter": q52_length_band_filter,
-        "q53_kmeans_clusters": q53_kmeans_clusters,
-        "q54_weighted_sample": q54_weighted_sample,
         "q55_decontaminate": q55_decontaminate,
         "q56_top3_orders_per_customer": q56_top3_orders_per_customer,
         "q57_distinct_users": q57_distinct_users,
@@ -3067,13 +3059,28 @@ def queries():
         "q61_bigram_counts": q61_bigram_counts,
         "q62_sequence_packing": q62_sequence_packing,
         "q63_curation_funnel": q63_curation_funnel,
-        "q64_image_funnel": q64_image_funnel,
         "q65_incremental_dedup": q65_incremental_dedup,
         "q66_rolling_window": q66_rolling_window,
         "q67_salted_groupby": q67_salted_groupby,
         "q68_windowed_event_dedup": q68_windowed_event_dedup,
+        # ---- rows-only (no SQL oracle possible; see COVERAGE.md) ----
+        "q17_simhash": q17_simhash,
+        "q20_phash_dedup": q20_phash_dedup,
+        "q21_crawl_order": q21_crawl_order,
+        "q23_search": q23_search,
+        "q24_multimodal": q24_multimodal,
+        "q25_pagerank": q25_pagerank,
+        "q28_ivf_topk": q28_ivf_topk,
+        "q29_embedding_neardup": q29_embedding_neardup,
+        "q30_fingerprint": q30_fingerprint,
+        "q31_top_hosts": q31_top_hosts,
+        "q32_crawl_rank_index_search": q32_crawl_rank_index_search,
+        "q33_phash_near_dedup": q33_phash_near_dedup,
+        "q43_hll_distinct": q43_hll_distinct,
+        "q53_kmeans_clusters": q53_kmeans_clusters,
+        "q54_weighted_sample": q54_weighted_sample,
+        "q64_image_funnel": q64_image_funnel,
     }
-
 
 def oracle_sql():
     return {
