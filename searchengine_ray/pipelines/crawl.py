@@ -431,19 +431,22 @@ class RayCrawl:
         adm_ref, rb_new, stats_ref = self.seq_actor.process.options(
             num_returns=3
         ).remote(first_of_epoch, len(cand_refs), len(p1), *cand_refs, *p1, *p2)
-        self._unappended.append(adm_ref)
+        # incremental appends (round 4): each wave's admitted table is
+        # appended as soon as the sequencer emits it — waves 1..W-1
+        # apply DURING the epoch, so the boundary append is only the
+        # last wave's share.  Cap math stays exact because phase1 now
+        # piggybacks the post-dequeue size SNAPSHOT, not live sizes.
+        self._append_refs.extend(
+            a.append_many.remote(adm_ref) for a in self.host_actors
+        )
         self._pending_rb = (tag, rb_new)
         return stats_ref
 
     def _flush_appends(self) -> None:
-        """Submit any deferred frontier appends explicitly (used by the
-        non-prefetched dequeue paths and the checkpoint snapshot)."""
-        if self._unappended:
-            self._append_refs.extend(
-                a.append_many.remote(*self._unappended)
-                for a in self.host_actors
-            )
-            self._unappended = []
+        """Appends are submitted incrementally per wave (actor-FIFO
+        guarantees they land before any later dequeue/snapshot task);
+        kept as a no-op seam for the budget/checkpoint call sites."""
+        return
 
     def _flush_rollback(self) -> None:
         """Idempotently apply the last wave's pending seen-set rollback
@@ -689,14 +692,11 @@ class RayCrawl:
         # (no binding budget, no checkpoint snapshots which must observe
         # appended-but-not-dequeued state).
         if prefetch_next and cfg.max_fetches is None and not self.checkpoint:
-            adm = self._unappended
-            self._unappended = []
+            # the wave appends were already submitted (actor FIFO runs
+            # them first); the prefetched dequeue queues right behind
             self._prefetched_dequeue = (
                 epoch + 1,
-                [
-                    a.append_and_dequeue.remote(epoch + 1, *adm)
-                    for a in self.host_actors
-                ],
+                [a.dequeue_epoch.remote(epoch + 1) for a in self.host_actors],
             )
         # metrics are refs resolved lazily at result(); seen/frontier
         # sizes are derived arithmetically there (seen == Σ admitted,

@@ -90,6 +90,11 @@ class HostShards:
         self.dns_hits = 0
         self.dns_misses = 0
         self.store = store
+        # shard sizes as of the LAST dequeue (pre-this-epoch-appends):
+        # phase1 piggybacks THIS to the sequencer so cap math stays
+        # exact while frontier appends apply incrementally mid-epoch
+        # (the sequencer's own shard_add covers the current epoch)
+        self._size_snapshot: dict[int, int] = dict(self.shard_n)
 
     # ------------------------------------------------------------ dequeue
     def append_and_dequeue(self, epoch: int, *admitted) -> pa.Table:
@@ -208,14 +213,25 @@ class HostShards:
                 else:
                     del by_host[hh]  # drained host bucket
         picks.sort(key=lambda p: (p[0], p[1]))
+        self._size_snapshot = dict(self.shard_n)
         return picks
 
     def _resolve(self, picks: list) -> pa.Table:
-        # resolve fetch outcomes (bad-host gate → store lookup →
-        # redirect) — store lookups bulk-vectorized; only the
-        # order-sensitive fail-counter walk stays a (cheap) loop
+        """Resolve fetch outcomes (bad-host gate → store lookup →
+        redirect).  Store lookups and outcome classification are fully
+        vectorized; the order-sensitive fail-counter walk runs ONLY
+        over picks of hosts that have a failure event in this batch or
+        prior fails on record — per-host state means the walk for
+        those hosts is independent of the (vectorized) rest."""
         n = len(picks)
+        if n == 0:
+            return pa.table({k.name: [] for k in PICKS_SCHEMA}, schema=PICKS_SCHEMA)
+        t_arr = np.fromiter((p[0] for p in picks), np.int64, n)
+        seq_arr = np.fromiter((p[1] for p in picks), np.int64, n)
+        urls = [p[2] for p in picks]
         uh = np.fromiter((p[3] for p in picks), np.uint64, n)
+        hh = np.fromiter((p[4] for p in picks), np.uint64, n)
+        shard_arr = np.fromiter((p[5] for p in picks), np.int32, n)
         srows = self.store.lookup(uh)
         known = srows >= 0
         status = np.full(n, -999, np.int32)
@@ -226,46 +242,94 @@ class HostShards:
         red_ok = red & (redirect >= 0)
         red_status = np.full(n, -999, np.int32)
         red_status[red_ok] = self.store.status[redirect[red_ok]]
-        rows = {k.name: [] for k in PICKS_SCHEMA}
         cfg = self.cfg
-        for i, (t, seq, url, h, hh, shard) in enumerate(picks):
-            fails = self.host_fail.get(hh, 0)
+
+        # hosts that need the sequential fail-counter walk: any host
+        # with a CONNECT_FAIL/TIMEOUT event in this batch, or already
+        # carrying fail counts
+        timeout = known & (status == synth.STATUS_TIMEOUT)
+        bad_event = (~known) | timeout
+        walk_hosts = set(int(x) for x in np.unique(hh[bad_event])) if bad_event.any() else set()
+        if self.host_fail:
+            walk_hosts |= set(int(x) for x in np.unique(hh)) & set(self.host_fail)
+        if walk_hosts:
+            wh = np.fromiter(walk_hosts, np.uint64, len(walk_hosts))
+            walk = np.isin(hh, wh)
+        else:
+            walk = np.zeros(n, bool)
+        fast = ~walk
+
+        outcome = np.empty(n, np.int8)
+        content_row = np.full(n, -1, np.int64)
+        # fast path: every pick connected, zero prior fails — outcomes
+        # are a pure function of store status
+        m = fast & known & (status == synth.STATUS_NOTFOUND)
+        outcome[m] = OUT_NOTFOUND
+        m = fast & red
+        mo = m & (red_status == synth.STATUS_OK)
+        outcome[mo] = OUT_OK
+        content_row[mo] = redirect[mo]
+        outcome[m & ~mo] = OUT_REDIRECT_FAIL
+        m = fast & known & (status == synth.STATUS_OK)
+        outcome[m] = OUT_OK
+        content_row[m] = srows[m]
+        # DNS cache accounting for fast picks (all connected): first
+        # pick of an uncached host is a miss (and inserts), the rest
+        # are hits — totals are order-independent per host
+        if fast.any():
+            uniq, counts = np.unique(hh[fast], return_counts=True)
+            new = [int(u) for u in uniq.tolist() if int(u) not in self.host_dns]
+            self.dns_misses += len(new)
+            self.dns_hits += int(counts.sum()) - len(new)
+            for u in new:
+                self.host_dns[u] = int(u & 0xFFFFFFFF)
+
+        # sequential walk for the (rare) failure-involved hosts, in
+        # original pick order
+        for i in np.nonzero(walk)[0]:
+            h = int(uh[i])
+            hhi = int(hh[i])
+            fails = self.host_fail.get(hhi, 0)
             if fails > cfg.max_host_fails and (h % 10) != 0:
-                outcome, content_row = OUT_SKIP_BADHOST, -1
+                oc, cr = OUT_SKIP_BADHOST, -1
             elif not known[i]:
-                self.host_fail[hh] = fails + 1
+                self.host_fail[hhi] = fails + 1
                 self.dns_misses += 1
-                outcome, content_row = OUT_CONNECT_FAIL, -1
+                oc, cr = OUT_CONNECT_FAIL, -1
             elif status[i] == synth.STATUS_TIMEOUT:
-                self.host_fail[hh] = fails + 1
-                outcome, content_row = OUT_TIMEOUT, -1
+                self.host_fail[hhi] = fails + 1
+                oc, cr = OUT_TIMEOUT, -1
             else:
-                self.host_fail.pop(hh, None)
-                # connect reached the host: cache its (synthetic)
-                # address, m_okHosts-style — hit on every later fetch
-                if hh in self.host_dns:
+                self.host_fail.pop(hhi, None)
+                if hhi in self.host_dns:
                     self.dns_hits += 1
                 else:
                     self.dns_misses += 1
-                    self.host_dns[hh] = int(hh & 0xFFFFFFFF)
+                    self.host_dns[hhi] = int(hhi & 0xFFFFFFFF)
                 if status[i] == synth.STATUS_NOTFOUND:
-                    outcome, content_row = OUT_NOTFOUND, -1
+                    oc, cr = OUT_NOTFOUND, -1
                 elif status[i] == synth.STATUS_REDIRECT:
                     if red_status[i] != synth.STATUS_OK:
-                        outcome, content_row = OUT_REDIRECT_FAIL, -1
+                        oc, cr = OUT_REDIRECT_FAIL, -1
                     else:
-                        outcome, content_row = OUT_OK, int(redirect[i])
+                        oc, cr = OUT_OK, int(redirect[i])
                 else:
-                    outcome, content_row = OUT_OK, int(srows[i])
-            rows["t_sched"].append(t)
-            rows["enqueue_seq"].append(seq)
-            rows["url"].append(url)
-            rows["url_hash"].append(h)
-            rows["host_hash"].append(hh)
-            rows["shard"].append(shard)
-            rows["content_row"].append(content_row)
-            rows["outcome"].append(outcome)
-        return pa.table(rows, schema=PICKS_SCHEMA)
+                    oc, cr = OUT_OK, int(srows[i])
+            outcome[i] = oc
+            content_row[i] = cr
+        return pa.table(
+            {
+                "t_sched": pa.array(t_arr),
+                "enqueue_seq": pa.array(seq_arr),
+                "url": pa.array(urls, pa.string()),
+                "url_hash": pa.array(uh),
+                "host_hash": pa.array(hh),
+                "shard": pa.array(shard_arr),
+                "content_row": pa.array(content_row),
+                "outcome": pa.array(outcome),
+            },
+            schema=PICKS_SCHEMA,
+        )
 
     # ---------------------------------------------------------- admission
     def admit_phase1_chunks(self, *chunks) -> tuple:
@@ -295,8 +359,8 @@ class HostShards:
                     "ok": pa.array([], pa.bool_()),
                 }
             )
-            return empty, self.shard_sizes()
-        return self._phase1(cand), self.shard_sizes()
+            return empty, dict(self._size_snapshot)
+        return self._phase1(cand), dict(self._size_snapshot)
 
     def _phase1(self, cand: pa.Table) -> pa.Table:
         """robots + per-host quota for THIS actor's shards.
@@ -371,23 +435,37 @@ class HostShards:
         admitted = admitted.sort_by("enqueue_seq")
         frontier = self.frontier
         shard_n = self.shard_n
-        for s, row in zip(
-            admitted["shard"].to_pylist(),
+        shard_np = admitted["shard"].to_numpy(zero_copy_only=False)
+        hh_np = admitted["host_hash"].to_numpy(zero_copy_only=False)
+        rows = list(
             zip(
                 admitted["enqueue_seq"].to_pylist(),
                 admitted["url"].to_pylist(),
                 admitted["url_hash"].to_pylist(),
                 admitted["host_hash"].to_pylist(),
                 admitted["host"].to_pylist(),
-            ),
-        ):
+            )
+        )
+        # group by (shard, host) with a stable sort (seq-order preserved
+        # within each group), then one deque.extend per host bucket —
+        # no per-row dict lookups on the epoch-boundary critical path
+        order = np.lexsort((np.arange(len(rows)), hh_np, shard_np))
+        so, ho = shard_np[order], hh_np[order]
+        bounds = np.r_[
+            0,
+            np.nonzero((so[1:] != so[:-1]) | (ho[1:] != ho[:-1]))[0] + 1,
+            len(rows),
+        ]
+        for g0, g1 in zip(bounds[:-1], bounds[1:]):
+            idxs = order[g0:g1]
+            s = int(so[g0])
+            hh = int(ho[g0])
             by_host = frontier[s]
-            hh = row[3]
             q = by_host.get(hh)
             if q is None:
                 by_host[hh] = q = deque()
-            q.append(row)
-            shard_n[s] += 1
+            q.extend(rows[i] for i in idxs)
+            shard_n[s] += len(idxs)
 
     def frontier_size(self) -> int:
         return sum(self.shard_n.values())
