@@ -244,19 +244,29 @@ class HostShards:
         red_status[red_ok] = self.store.status[redirect[red_ok]]
         cfg = self.cfg
 
-        # hosts that need the sequential fail-counter walk: any host
-        # with a CONNECT_FAIL/TIMEOUT event in this batch, or already
-        # carrying fail counts
+        # picks that need the sequential fail-counter walk: a host's
+        # fails can first become nonzero at its FIRST bad event in this
+        # batch (or at entry, if it carries prior fails) — every pick of
+        # a bad host BEFORE that position provably sees fails == 0 and
+        # resolves on the fast path
         timeout = known & (status == synth.STATUS_TIMEOUT)
         bad_event = (~known) | timeout
-        walk_hosts = set(int(x) for x in np.unique(hh[bad_event])) if bad_event.any() else set()
+        walk = np.zeros(n, bool)
+        if bad_event.any():
+            pos_bad = np.nonzero(bad_event)[0]
+            first_bad: dict[int, int] = {}
+            for p in pos_bad[::-1]:
+                first_bad[int(hh[p])] = int(p)
+            bh = np.fromiter(first_bad.keys(), np.uint64, len(first_bad))
+            th = np.fromiter(first_bad.values(), np.int64, len(first_bad))
+            bo = np.argsort(bh)
+            bh, th = bh[bo], th[bo]
+            pos = np.searchsorted(bh, hh)
+            hit = (pos < len(bh)) & (bh[np.minimum(pos, len(bh) - 1)] == hh)
+            walk[hit] = np.arange(n)[hit] >= th[pos[hit]]
         if self.host_fail:
-            walk_hosts |= set(int(x) for x in np.unique(hh)) & set(self.host_fail)
-        if walk_hosts:
-            wh = np.fromiter(walk_hosts, np.uint64, len(walk_hosts))
-            walk = np.isin(hh, wh)
-        else:
-            walk = np.zeros(n, bool)
+            pf = np.fromiter(self.host_fail.keys(), np.uint64, len(self.host_fail))
+            walk |= np.isin(hh, pf)
         fast = ~walk
 
         outcome = np.empty(n, np.int8)
