@@ -289,6 +289,16 @@ def run_scaling() -> None:
     best = {n: max(rs, key=lambda r: r["urls_per_s"]) for n, rs in runs.items()}
     thr_lo, thr_hi = best[lo]["urls_per_s"], best[hi]["urls_per_s"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    # per-rep paired efficiency (rep i's hi vs rep i's lo — adjacent in
+    # time, so a host-interference wave hits both sides of the pair):
+    # median is the noise-robust record, best-of-level the canonical one
+    pair_effs = sorted(
+        (runs[hi][i]["urls_per_s"] / runs[lo][i]["urls_per_s"]) / (hi / lo)
+        for i in range(reps)
+    )
+    med = pair_effs[reps // 2] if reps % 2 else (
+        pair_effs[reps // 2 - 1] + pair_effs[reps // 2]
+    ) / 2
     report = {
         "metric": "crawl throughput scaling (N vs 4N cpus)",
         "num_cpus_lo": lo,
@@ -300,6 +310,8 @@ def run_scaling() -> None:
         "all_runs": {
             str(n): [r["urls_per_s"] for r in rs] for n, rs in runs.items()
         },
+        "pair_efficiencies": [round(e, 3) for e in pair_effs],
+        "median_pair_efficiency": round(med, 3),
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(report))
