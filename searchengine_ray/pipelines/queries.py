@@ -779,20 +779,23 @@ def jaccard_pairs_from(ds, K: int = 5, threshold: float = 0.5):
 
     npart = _ncpus()
 
-    def shingles(b: pd.DataFrame) -> pd.DataFrame:
-        didx, sh, _lens = _distinct_shingles(
-            b["text"], K, short_fallback=False
+    def shingles(b: pa.Table) -> pa.Table:
+        # pyarrow hop: the wide (doc_id, text) read never converts to
+        # pandas; only 8-byte shingle rows ride the shuffle
+        texts = b["text"].to_pylist()
+        didx, sh, _lens = _distinct_shingles(texts, K, short_fallback=False)
+        counts = (
+            np.bincount(didx, minlength=len(b)) if len(b) else np.zeros(0)
         )
-        counts = np.bincount(didx, minlength=len(b)) if len(b) else np.zeros(0)
-        out = pd.DataFrame(
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "doc_id": b["doc_id"].to_numpy()[didx],
-                "shingle": sh.view(np.int64),
-                "n": counts[didx].astype(np.int64),
+                "doc_id": pa.array(doc_ids[didx], pa.int64()),
+                "shingle": pa.array(sh.view(np.int64)),
+                "n": pa.array(counts[didx].astype(np.int64)),
+                "part": pa.array((sh % np.uint64(npart)).astype(np.int64)),
             }
         )
-        out["part"] = (sh % np.uint64(npart)).astype(np.int64)
-        return out
 
     def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # all rows of any given shingle are in this partition, so the
@@ -818,7 +821,7 @@ def jaccard_pairs_from(ds, K: int = 5, threshold: float = 0.5):
         return cnt
 
     partials = (
-        ds.map_batches(shingles, batch_format="pandas")
+        ds.map_batches(shingles, batch_format="pyarrow")
         .groupby("part")
         .map_groups(partition_pairs, batch_format="pandas")
     )

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 _OUT_DTYPES = {"node": "int64", "label": "int64"}
 
@@ -143,55 +144,59 @@ def connected_components(
                 _cc_local(pairs_ds.to_pandas(), col_a, col_b)
             )
 
-    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
-        a = b[col_a].to_numpy(np.int64)
-        c = b[col_b].to_numpy(np.int64)
-        return pd.DataFrame(
+    _REQ = pa.schema(
+        [("key", pa.int64()), ("node", pa.int64()),
+         ("label", pa.int64()), ("kind", pa.int8())]
+    )
+    _LAB = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def _req_table(key, node, label, kind) -> pa.Table:
+        n = len(key)
+        return pa.table(
             {
-                "key": np.concatenate([c, a]),  # lookup label of dst
-                "node": np.concatenate([a, c]),  # ... on behalf of src
-                "label": np.full(2 * len(a), -1, np.int64),
-                "kind": np.ones(2 * len(a), np.int8),
-            }
+                "key": pa.array(np.asarray(key, np.int64)),
+                "node": pa.array(np.asarray(node, np.int64)),
+                "label": pa.array(np.asarray(label, np.int64)),
+                "kind": pa.array(np.full(n, kind, np.int8)),
+            },
+            schema=_REQ,
         )
 
-    def as_kind0(b: pd.DataFrame) -> pd.DataFrame:
-        if "node" not in b.columns or not len(b):
-            return _empty(
-                {"key": "int64", "node": "int64", "label": "int64", "kind": "int8"}
-            )
-        return pd.DataFrame(
-            {
-                "key": b["node"].astype("int64"),
-                "node": b["node"].astype("int64"),
-                "label": b["label"].astype("int64"),
-                "kind": np.zeros(len(b), np.int8),
-            }
+    def _i64(b: pa.Table, col: str) -> np.ndarray:
+        return b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        a = _i64(b, col_a)
+        c = _i64(b, col_b)
+        # lookup label of dst on behalf of src (both directions)
+        return _req_table(
+            np.concatenate([c, a]),
+            np.concatenate([a, c]),
+            np.full(2 * len(a), -1, np.int64),
+            1,
         )
 
-    def as_jump_req(b: pd.DataFrame) -> pd.DataFrame:
+    def as_kind0(b: pa.Table) -> pa.Table:
+        if "node" not in b.schema.names or not len(b):
+            return _req_table([], [], [], 0)
+        node = _i64(b, "node")
+        return _req_table(node, node, _i64(b, "label"), 0)
+
+    def as_jump_req(b: pa.Table) -> pa.Table:
         # ask key=label(n) for ITS label, on behalf of n
-        if "node" not in b.columns or not len(b):
-            return _empty(
-                {"key": "int64", "node": "int64", "label": "int64", "kind": "int8"}
-            )
-        return pd.DataFrame(
-            {
-                "key": b["label"].astype("int64"),
-                "node": b["node"].astype("int64"),
-                "label": np.full(len(b), -1, np.int64),
-                "kind": np.ones(len(b), np.int8),
-            }
+        if "node" not in b.schema.names or not len(b):
+            return _req_table([], [], [], 1)
+        return _req_table(
+            _i64(b, "label"), _i64(b, "node"),
+            np.full(len(b), -1, np.int64), 1,
         )
 
-    def stab(b: pd.DataFrame) -> pd.DataFrame:
-        if "node" not in b.columns or not len(b):
-            return _empty(_OUT_DTYPES)
-        return pd.DataFrame(
-            {
-                "node": b["node"].astype("int64"),
-                "label": b["label"].astype("int64"),
-            }
+    def stab(b: pa.Table) -> pa.Table:
+        if "node" not in b.schema.names or not len(b):
+            return pa.table({"node": [], "label": []}, schema=_LAB)
+        return pa.table(
+            {"node": pa.array(_i64(b, "node")), "label": pa.array(_i64(b, "label"))},
+            schema=_LAB,
         )
 
     import ray
@@ -199,30 +204,28 @@ def connected_components(
     npart = max(2, int(ray.cluster_resources().get("CPU", 8)))
 
     def part_by(col: str, name: str):
-        def add(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            b[name] = (
-                b[col].to_numpy(np.int64) % npart if len(b)
+        def add(b: pa.Table) -> pa.Table:
+            v = (
+                b[col].to_numpy(zero_copy_only=False).astype(np.int64) % npart
+                if len(b)
                 else np.array([], np.int64)
             )
-            return b
+            return b.append_column(name, pa.array(v, pa.int64()))
 
         return add
 
-    edges = pairs_ds.map_batches(to_edges, batch_format="pandas")
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
     labels = (
         edges.map_batches(
-            lambda b: pd.DataFrame(
-                {"node": b["key"], "label": b["key"]}
-            )
-            if len(b)
-            else _empty(_OUT_DTYPES),
-            batch_format="pandas",
+            lambda b: pa.table(
+                {"node": b["key"], "label": b["key"]}, schema=_LAB
+            ),
+            batch_format="pyarrow",
         )
-        .map_batches(part_by("node", "p"), batch_format="pandas")
+        .map_batches(part_by("node", "p"), batch_format="pyarrow")
         .groupby("p")
         .map_groups(_min_part, batch_format="pandas")
-        .map_batches(stab, batch_format="pandas")
+        .map_batches(stab, batch_format="pyarrow")
         .materialize()
     )
 
@@ -238,16 +241,16 @@ def connected_components(
         # npart) so the per-group callables run once per partition
         # with vectorized kernels, not once per graph node.
         labels = (
-            labels.map_batches(as_kind0, batch_format="pandas")
+            labels.map_batches(as_kind0, batch_format="pyarrow")
             .union(edges)
-            .union(labels.map_batches(as_jump_req, batch_format="pandas"))
-            .map_batches(part_by("key", "p"), batch_format="pandas")
+            .union(labels.map_batches(as_jump_req, batch_format="pyarrow"))
+            .map_batches(part_by("key", "p"), batch_format="pyarrow")
             .groupby("p")
             .map_groups(_gather_part, batch_format="pandas")
-            .map_batches(part_by("node", "p2"), batch_format="pandas")
+            .map_batches(part_by("node", "p2"), batch_format="pyarrow")
             .groupby("p2")
             .map_groups(_min_part, batch_format="pandas")
-            .map_batches(stab, batch_format="pandas")
+            .map_batches(stab, batch_format="pyarrow")
             .materialize()
         )
         s = labels.aggregate(Sum("label", alias_name="s"))["s"]
@@ -285,7 +288,7 @@ def connected_components(
         )
 
     return (
-        labels.map_batches(part_by("label", "p3"), batch_format="pandas")
+        labels.map_batches(part_by("label", "p3"), batch_format="pyarrow")
         .groupby("p3")
         .map_groups(finalize_part, batch_format="pandas")
     )

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _ncpus() -> int:
@@ -29,15 +31,6 @@ def _ncpus() -> int:
         return max(2, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:
         return 8
-
-
-def _with_part(key: str, npart: int):
-    def add(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["part"] = (b[key].to_numpy(np.int64) % npart).astype(np.int64)
-        return b
-
-    return add
 
 
 def asof_join(
@@ -61,11 +54,24 @@ def asof_join(
     """
     npart = npart or _ncpus()
 
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        m = b["event_type"].isin([left_type, right_type])
-        b = b.loc[m, ["event_id", "ts", by, "event_type"]].copy()
-        b["ts_us"] = b["ts"].astype("datetime64[us]").astype("int64")
-        return b.drop(columns=["ts"])
+    def project(b: pa.Table) -> pa.Table:
+        # zero-copy Arrow projection of the wide input read: filter,
+        # us-normalize, and partition-stamp in ONE pyarrow hop (the
+        # pandas conversion tax is paid only by the narrow per-
+        # partition kernels downstream)
+        m = pc.is_in(b["event_type"], pa.array([left_type, right_type]))
+        b = b.filter(m)
+        ts_us = b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        ent = b[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                by: b[by],
+                "event_type": b["event_type"],
+                "ts_us": ts_us,
+                "part": pa.array(ent % npart, pa.int64()),
+            }
+        )
 
     def join_part(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["event_type"] == left_type].sort_values(
@@ -105,8 +111,7 @@ def asof_join(
         return out
 
     return (
-        events_ds.map_batches(project, batch_format="pandas")
-        .map_batches(_with_part(by, npart), batch_format="pandas")
+        events_ds.map_batches(project, batch_format="pyarrow")
         .groupby("part")
         .map_groups(
             lambda g: join_part(g.drop(columns=["part"])),
@@ -135,10 +140,16 @@ def preceding_window_count(
     overflow int64 (stride × runs ≥ 2^62)."""
     npart = npart or _ncpus()
 
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[["event_id", "ts", by]].copy()
-        b["ts_us"] = b["ts"].astype("datetime64[us]").astype("int64")
-        return b.drop(columns=["ts"])
+    def project(b: pa.Table) -> pa.Table:
+        ent = b[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                by: b[by],
+                "ts_us": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "part": pa.array(ent % npart, pa.int64()),
+            }
+        )
 
     def count_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([by, "ts_us"], kind="mergesort")
@@ -173,8 +184,7 @@ def preceding_window_count(
         )
 
     return (
-        events_ds.map_batches(project, batch_format="pandas")
-        .map_batches(_with_part(by, npart), batch_format="pandas")
+        events_ds.map_batches(project, batch_format="pyarrow")
         .groupby("part")
         .map_groups(
             lambda g: count_part(g.drop(columns=["part"])),
@@ -203,13 +213,22 @@ def group_percentiles(
     """
     npart = _ncpus()
 
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def project(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import fnv1a64_batch
+
+        v = np.round(
+            b[col].to_numpy(zero_copy_only=False).astype(np.float64) * scale
+        ).astype(np.int64)
+        h = fnv1a64_batch(
+            b[key].combine_chunks()
+            if pa.types.is_string(b[key].type)
+            else pa.array(b[key].to_numpy(zero_copy_only=False).astype("U"))
+        )
+        return pa.table(
             {
                 key: b[key],
-                "v": np.round(b[col].to_numpy(np.float64) * scale).astype(
-                    np.int64
-                ),
+                "v": pa.array(v),
+                "part": pa.array((h % np.uint64(npart)).astype(np.int64)),
             }
         )
 
@@ -227,17 +246,8 @@ def group_percentiles(
             rows[f"p{int(p * 100):02d}"] = v[idx]
         return pd.DataFrame(rows)
 
-    def add_part(b: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.hashing import fnv1a64_batch
-
-        b = b.copy()
-        h = fnv1a64_batch(b[key].to_numpy().astype("U"))
-        b["part"] = (h % np.uint64(npart)).astype(np.int64)
-        return b
-
     return (
-        ds.map_batches(project, batch_format="pandas")
-        .map_batches(add_part, batch_format="pandas")
+        ds.map_batches(project, batch_format="pyarrow")
         .groupby("part")
         .map_groups(
             lambda g: finalize(g.drop(columns=["part"])),
@@ -275,12 +285,19 @@ def range_join(
     """
     npart = npart or _ncpus()
 
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        m = b["event_type"].isin([left_type, right_type])
-        b = b.loc[m, ["event_id", "ts", by, "event_type"]].copy()
-        b["ts_us"] = b["ts"].astype("datetime64[us]").astype("int64")
-        b["is_left"] = (b["event_type"] == left_type).astype(np.int8)
-        return b.drop(columns=["ts", "event_type"])
+    def project(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"], pa.array([left_type, right_type]))
+        b = b.filter(m)
+        ent = b[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                by: b[by],
+                "ts_us": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "is_left": pc.equal(b["event_type"], left_type).cast(pa.int8()),
+                "part": pa.array(ent % npart, pa.int64()),
+            }
+        )
 
     def join_part(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["is_left"] == 1]
@@ -343,8 +360,7 @@ def range_join(
         )
 
     return (
-        events_ds.map_batches(project, batch_format="pandas")
-        .map_batches(_with_part(by, npart), batch_format="pandas")
+        events_ds.map_batches(project, batch_format="pyarrow")
         .groupby("part")
         .map_groups(
             lambda g: join_part(g.drop(columns=["part"])),
