@@ -54,10 +54,12 @@ QUERY_NAMES = [
     "q08_events_hourly",
     "q12_word_counts",
     "q15_embedding_topk",
+    "q16_minhash_pairs",
     "q18_jaccard_pairs",
     "q22_inverted_index",
     "q26_brand_volume",
     "q27_best_order_per_customer",
+    "q37_clean_corpus",
     "q40_asof_join",
     "q41_value_percentiles",
     "q44_range_join",
