@@ -169,8 +169,17 @@ def minhash_signatures(
     segments (perm-chunked to bound the (n_shingles × perms) temp).
     Signatures travel as packed fixed-width bytes (``sigb``) — the
     layout every downstream stage (banding, verify joins) consumes
-    directly; acero joins can't carry list columns anyway."""
-    didx, sh, _lens = _distinct_shingles(batch[text_col], shingle_k)
+    directly; acero joins can't carry list columns anyway.
+
+    Accepts a pandas OR pyarrow batch (the pipeline feeds pyarrow so
+    the wide text read never converts to pandas); returns pandas."""
+    if isinstance(batch, pa.Table):
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+    else:
+        ids = batch[id_col].to_numpy()
+        texts = batch[text_col]
+    didx, sh, _lens = _distinct_shingles(texts, shingle_k)
     n = len(batch)
     a, b = _minhash_params(num_perm, seed)
     sig = np.full((n, num_perm), np.uint64(_MERSENNE))
@@ -186,7 +195,7 @@ def minhash_signatures(
                 sig[present, p0:p1] = np.minimum.reduceat(m, starts, axis=0)
     return pd.DataFrame(
         {
-            id_col: batch[id_col].to_numpy(),
+            id_col: ids,
             "sigb": [r.tobytes() for r in sig],
         }
     )
@@ -249,7 +258,7 @@ def _lsh_candidate_stages(
         lambda b: minhash_signatures(
             b, text_col, id_col, num_perm, shingle_k, seed
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
     ).materialize()
 
     def bands_part(b: pd.DataFrame) -> pd.DataFrame:
