@@ -384,12 +384,10 @@ class HostShards:
         rows = self.store.lookup(uhs)
         n = len(cand)
         ok = np.ones(n, bool)
-        reason = np.full(n, "", dtype=object)
         known = rows >= 0
         robots_bad = np.zeros(n, bool)
         robots_bad[known] = self.store.robots_blocked[rows[known]]
         ok[robots_bad] = False
-        reason[robots_bad] = "robots"
         # quota fast path: hosts whose counter + batch contribution stays
         # below the cap take a bulk dict update; only cap-straddling
         # hosts fall back to the per-row in-order scan
@@ -411,7 +409,6 @@ class HostShards:
                 c = self.host_cand.get(hh, 0)
                 if c >= cap:
                     ok[i] = False
-                    reason[i] = "quota"
                 else:
                     self.host_cand[hh] = c + 1
         # slim chain table: what every seen actor and the sequencer
