@@ -409,7 +409,12 @@ class RayCrawl:
         self._seed_stats_ref = self._submit_wave([cand], first_of_epoch=True)
 
     # ---------------------------------------------------------- admission
-    def _submit_wave(self, cand_refs: list, first_of_epoch: bool = False):
+    def _submit_wave(
+        self,
+        cand_refs: list,
+        first_of_epoch: bool = False,
+        defer_append: bool = False,
+    ):
         """Submit one wave's admission ladder — fetch candidate chunks
         (object refs or tables, in ascending fetch_seq order) chained
         through phase1 (host actors) → phase2 (seen actors, pulling the
@@ -436,17 +441,29 @@ class RayCrawl:
         # apply DURING the epoch, so the boundary append is only the
         # last wave's share.  Cap math stays exact because phase1 now
         # piggybacks the post-dequeue size SNAPSHOT, not live sizes.
-        self._append_refs.extend(
-            a.append_many.remote(adm_ref) for a in self.host_actors
-        )
+        # The LAST wave of an epoch defers instead: its admitted table
+        # rides INTO the prefetched append_and_dequeue (one actor-task
+        # hop less on the boundary critical path).
+        if defer_append:
+            self._unappended.append(adm_ref)
+        else:
+            self._append_refs.extend(
+                a.append_many.remote(adm_ref) for a in self.host_actors
+            )
         self._pending_rb = (tag, rb_new)
         return stats_ref
 
     def _flush_appends(self) -> None:
-        """Appends are submitted incrementally per wave (actor-FIFO
-        guarantees they land before any later dequeue/snapshot task);
-        kept as a no-op seam for the budget/checkpoint call sites."""
-        return
+        """Submit any still-deferred appends (normally only the epoch's
+        LAST wave — earlier waves append incrementally); used by the
+        non-prefetched dequeue paths, checkpoint snapshots, and
+        result()."""
+        if self._unappended:
+            self._append_refs.extend(
+                a.append_many.remote(*self._unappended)
+                for a in self.host_actors
+            )
+            self._unappended = []
 
     def _flush_rollback(self) -> None:
         """Idempotently apply the last wave's pending seen-set rollback
@@ -628,6 +645,10 @@ class RayCrawl:
                             self._submit_wave(
                                 [k for _c, k in wave],
                                 first_of_epoch=(flushed == 0),
+                                defer_append=(
+                                    next_span == len(spans)
+                                    and flushed + len(wave) >= len(spans)
+                                ),
                             )
                         )
                         flushed += len(wave)
@@ -680,7 +701,9 @@ class RayCrawl:
                     content_refs.extend(c for c, _k in wave)
                     stat_refs.append(
                         self._submit_wave(
-                            [k for _c, k in wave], first_of_epoch=(w0 == 0)
+                            [k for _c, k in wave],
+                            first_of_epoch=(w0 == 0),
+                            defer_append=(w0 + nf >= len(rets)),
                         )
                     )
         t_submit = time.perf_counter() if prof else 0.0
@@ -692,11 +715,17 @@ class RayCrawl:
         # (no binding budget, no checkpoint snapshots which must observe
         # appended-but-not-dequeued state).
         if prefetch_next and cfg.max_fetches is None and not self.checkpoint:
-            # the wave appends were already submitted (actor FIFO runs
-            # them first); the prefetched dequeue queues right behind
+            # waves 1..W-1 appended incrementally (actor FIFO runs them
+            # first); the LAST wave's admitted table rides in the
+            # prefetched append_and_dequeue — one hop on the boundary
+            adm = self._unappended
+            self._unappended = []
             self._prefetched_dequeue = (
                 epoch + 1,
-                [a.dequeue_epoch.remote(epoch + 1) for a in self.host_actors],
+                [
+                    a.append_and_dequeue.remote(epoch + 1, *adm)
+                    for a in self.host_actors
+                ],
             )
         # metrics are refs resolved lazily at result(); seen/frontier
         # sizes are derived arithmetically there (seen == Σ admitted,
