@@ -2104,8 +2104,9 @@ def q58_running_totals(sf_dir: str):
 
 SQL_Q58 = """
 SELECT event_id, user_id,
-       SUM(CAST(ROUND(value*100) AS BIGINT))
-         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_cents
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS run_cents
 FROM events
 """
 
@@ -2387,7 +2388,8 @@ c AS (SELECT doc_id, n_tokens,
         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
       FROM t)
-SELECT doc_id, n_tokens, prev // 512 AS chunk_id, prev % 512 AS tok_offset
+SELECT doc_id, n_tokens, CAST(prev // 512 AS BIGINT) AS chunk_id,
+       CAST(prev % 512 AS BIGINT) AS tok_offset
 FROM c
 """
 
@@ -2646,9 +2648,10 @@ def q66_rolling_window(sf_dir: str):
 
 SQL_Q66 = """
 SELECT event_id, user_id,
-       SUM(CAST(ROUND(value*100) AS BIGINT))
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_cents
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS roll_cents
 FROM events
 """
 
@@ -2704,7 +2707,7 @@ def q67_salted_groupby(sf_dir: str):
 
 SQL_Q67 = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-       SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
        MAX(CAST(ROUND(value*100) AS BIGINT)) AS max_cents
 FROM events GROUP BY event_type
 """
