@@ -237,6 +237,38 @@ class _Sequencer:
         return final, rb_tbl, stats
 
 
+
+def _plan_chunks(n_ok: int, nf: int, waves: int) -> list[tuple[int, int]]:
+    """(start, length) fetch-chunk spans: waves 1..W-1 uniform, the
+    LAST wave half-volume — every actor still gets equal total work
+    (W-1 big chunks + 1 half chunk), but the epoch-boundary admission
+    ladder (phase1→phase2→sequencer on the final wave) processes half
+    the candidates, directly shrinking the serial tail the next
+    dequeue waits on.  Falls back to one uniform wave for tiny epochs."""
+    if n_ok <= 0:
+        return []
+    denom = max(1, nf * (2 * waves - 1))  # half-chunks
+    half = max(32, -(-n_ok // denom))
+    big = 2 * half
+    spans = []
+    i = 0
+    # W-1 uniform rounds of big chunks
+    for _ in range(max(0, waves - 1) * nf):
+        if i >= n_ok:
+            break
+        c = min(big, n_ok - i)
+        spans.append((i, c))
+        i += c
+    # final half-size round (remainder spread over nf chunks)
+    rem = n_ok - i
+    if rem > 0:
+        c = -(-rem // nf)
+        while i < n_ok:
+            spans.append((i, min(c, n_ok - i)))
+            i += min(c, n_ok - i)
+    return spans
+
+
 class _Dispatcher:
     """Merge+dispatch actor: turns the per-host-actor dequeue tables
     into the epoch's globally ordered picks AND submits the fetch chunk
@@ -284,12 +316,12 @@ class _Dispatcher:
                 rets = ok_ref
             else:
                 nf = len(self.fetch_actors)
-                chunk = max(64, (n_ok + nf * waves - 1) // (nf * waves))
+                spans = _plan_chunks(n_ok, nf, waves)
                 rets = [
-                    self.fetch_actors[(i // chunk) % nf]
+                    self.fetch_actors[k % nf]
                     .__call__.options(num_returns=2)
-                    .remote(ok_ref, i, min(chunk, n_ok - i))
-                    for i in range(0, n_ok, chunk)
+                    .remote(ok_ref, i, c)
+                    for k, (i, c) in enumerate(spans)
                 ]
         return order, ((n, n_ok), rets)
 
@@ -683,12 +715,12 @@ class RayCrawl:
                     rets = rets_or_ref
                 else:
                     waves = int(os.environ.get("CRAWL_WAVES", "4"))
-                    chunk = max(64, (n_ok + nf * waves - 1) // (nf * waves))
+                    spans = _plan_chunks(n_ok, nf, waves)
                     rets = [
-                        self.fetch_actors[(i // chunk) % nf]
+                        self.fetch_actors[k % nf]
                         .__call__.options(num_returns=2)
-                        .remote(picks_ref, i, min(chunk, n_ok - i))
-                        for i in range(0, n_ok, chunk)
+                        .remote(picks_ref, i, c)
+                        for k, (i, c) in enumerate(spans)
                     ]
                 # Ladder grouping: one group per fetch round (nf
                 # chunks).  Tapering the final round into halving
