@@ -3005,6 +3005,206 @@ def q43_hll_distinct(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q69_duplicate_spans(sf_dir: str):
+    """Exact duplicated-substring-span detection (Lee et al. 2021
+    substring dedup — the span-level member of the dedup family, vs
+    q10's whole-doc and q16/q18's whole-doc-near semantics): per doc,
+    the count and token coverage of maximal spans whose every 8-gram
+    occurs more than once in the corpus.  Three-hop distributed shape
+    (``stages/spans.py``): K-gram window hashes → gram-keyed shuffle
+    (global occurrence counts) → doc-keyed shuffle (vectorized
+    interval merge).  Only 8-byte gram hashes ride the wide shuffle."""
+    from ..stages.spans import duplicate_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_spans(ds, K=8)
+
+
+_Q69_K = 8
+SQL_Q69 = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (SELECT doc_id, unnest(range(len(toks)-{_Q69_K}+1)) AS pos, toks
+      FROM t WHERE len(toks) >= {_Q69_K}),
+g AS (SELECT doc_id, pos,
+             array_to_string(toks[pos+1:pos+{_Q69_K}], ' ') AS gram FROM p),
+d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+m AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= {_Q69_K}
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits),
+isl AS (SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM m),
+sp AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {_Q69_K} AS e
+       FROM isl GROUP BY doc_id, island)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+FROM sp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q70_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021
+    §A1.1) per doc: most-frequent-unigram count, most-frequent-bigram
+    count, duplicated-bigram occurrences — the repetition half of the
+    clean gate q13's length/stopword signals don't cover.  Purely
+    per-doc, so the 100-TB shape is one embarrassingly-parallel
+    ``map_batches`` pass (``stages/spans.repetition_stats``: lexsort +
+    run-length over the flat token-dictionary stream); integer outputs
+    for oracle-exact comparison.  Returns the corpus rollup grouped by
+    the doc's repetition verdict so the result is driver-sized."""
+    from ..stages.spans import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        rs = repetition_stats(b["text"].to_pylist())
+        # Gopher-ish keep rule on integer arithmetic: top unigram
+        # <= 20% of tokens AND duplicated bigrams <= 30% of bigrams
+        keep = (rs["top_unigram_n"] * 5 <= rs["n_tokens"]) & (
+            rs["dup_bigram_n"] * 10 <= rs["n_bigrams"] * 3
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "keep": pa.array(keep.to_numpy(bool)),
+                "n_tokens": pa.array(rs["n_tokens"].to_numpy(np.int64)),
+                "top_unigram_n": pa.array(
+                    rs["top_unigram_n"].to_numpy(np.int64)
+                ),
+                "top_bigram_n": pa.array(
+                    rs["top_bigram_n"].to_numpy(np.int64)
+                ),
+                "dup_bigram_n": pa.array(
+                    rs["dup_bigram_n"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    def rollup(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("keep", as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            sum_tokens=("n_tokens", "sum"),
+            sum_top_unigram=("top_unigram_n", "sum"),
+            sum_top_bigram=("top_bigram_n", "sum"),
+            sum_dup_bigram=("dup_bigram_n", "sum"),
+        )
+
+    out = _part_groupby(
+        ds.map_batches(stats, batch_format="pyarrow").map_batches(
+            rollup, batch_format="pandas"
+        ),
+        ["keep"],
+        {
+            "n_docs": "sum",
+            "sum_tokens": "sum",
+            "sum_top_unigram": "sum",
+            "sum_top_bigram": "sum",
+            "sum_dup_bigram": "sum",
+        },
+    ).to_pandas()
+    for c in out.columns:
+        if c != "keep":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("keep").reset_index(drop=True)
+
+
+SQL_Q70 = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+uc AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY doc_id, tok),
+topu AS (SELECT doc_id, MAX(c) AS top_unigram_n, SUM(c) AS n_tokens
+         FROM uc GROUP BY doc_id),
+b AS (SELECT doc_id,
+             unnest([toks[i+1] || ' ' || toks[i+2]
+                     for i in range(len(toks)-1)]) AS bg
+      FROM t),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+topb AS (SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams,
+                SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bigram_n
+         FROM bc GROUP BY doc_id),
+per AS (SELECT d.doc_id,
+               COALESCE(n_tokens, 0) AS n_tokens,
+               COALESCE(top_unigram_n, 0) AS top_unigram_n,
+               COALESCE(n_bigrams, 0) AS n_bigrams,
+               COALESCE(top_bigram_n, 0) AS top_bigram_n,
+               COALESCE(dup_bigram_n, 0) AS dup_bigram_n
+        FROM documents d
+        LEFT JOIN topu ON d.doc_id = topu.doc_id
+        LEFT JOIN topb ON d.doc_id = topb.doc_id),
+v AS (SELECT *,
+             (top_unigram_n * 5 <= n_tokens
+              AND dup_bigram_n * 10 <= n_bigrams * 3) AS keep
+      FROM per)
+SELECT keep, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(top_unigram_n) AS BIGINT) AS sum_top_unigram,
+       CAST(SUM(top_bigram_n) AS BIGINT) AS sum_top_bigram,
+       CAST(SUM(dup_bigram_n) AS BIGINT) AS sum_dup_bigram
+FROM v GROUP BY keep ORDER BY keep
+"""
+
+
+def q71_stratified_sample(sf_dir: str):
+    """Per-group stratified exact-k sampling: the k docs per source
+    with the smallest Knuth-multiplicative hash of doc_id — the
+    deterministic "take k per domain" curation primitive (stable
+    across runs and cluster sizes, no RNG state; complements q46's
+    rate-based split and q54's weight-based sampler).  Per-batch
+    partial top-k per source (bounded: k rows per source per batch) →
+    source-keyed shuffle of the k-bounded partials → final top-k per
+    source.  Nothing corpus-sized crosses the shuffle."""
+    KPER = 5
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64).astype(np.uint64)
+        h = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)).astype(
+            np.int64
+        )
+        t = pd.DataFrame(
+            {"source": b["source"], "doc_id": b["doc_id"], "h": h}
+        )
+        return (
+            t.sort_values(["source", "h", "doc_id"])
+            .groupby("source", as_index=False)
+            .head(KPER)
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["source", "h", "doc_id"])
+            .groupby("source", as_index=False)
+            .head(KPER)
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out[["source", "doc_id", "h"]]
+    out["h"] = out["h"].astype("int64")
+    return out.sort_values(["source", "h", "doc_id"]).reset_index(drop=True)
+
+
+SQL_Q71 = """
+WITH h AS (
+  SELECT source, doc_id,
+         CAST((CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296
+              AS BIGINT) AS h
+  FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY h, doc_id) AS rn
+      FROM h)
+SELECT source, doc_id, h FROM r WHERE rn <= 5
+ORDER BY source, h, doc_id
+"""
+
+
 # ------------------------------------------------------------------ catalog
 
 
@@ -3069,6 +3269,9 @@ def queries():
         "q66_rolling_window": q66_rolling_window,
         "q67_salted_groupby": q67_salted_groupby,
         "q68_windowed_event_dedup": q68_windowed_event_dedup,
+        "q69_duplicate_spans": q69_duplicate_spans,
+        "q70_repetition_stats": q70_repetition_stats,
+        "q71_stratified_sample": q71_stratified_sample,
         # ---- rows-only (no SQL oracle possible; see COVERAGE.md) ----
         "q17_simhash": q17_simhash,
         "q20_phash_dedup": q20_phash_dedup,
@@ -3142,4 +3345,7 @@ def oracle_sql():
         "q66_rolling_window": SQL_Q66,
         "q67_salted_groupby": SQL_Q67,
         "q68_windowed_event_dedup": SQL_Q68,
+        "q69_duplicate_spans": SQL_Q69,
+        "q70_repetition_stats": SQL_Q70,
+        "q71_stratified_sample": SQL_Q71,
     }
