@@ -3205,6 +3205,53 @@ ORDER BY source, h, doc_id
 """
 
 
+def q72_image_neardup_survivors(sf_dir: str):
+    """Image near-dup dedup end-to-end (the image-axis analog of
+    q48): phash band-LSH pairs (q33's engine) → connected components
+    (q47's engine) → one canonical image per cluster (min image_id) →
+    per-format survivor counts.  Drop set is result-sized and
+    broadcasts into a vectorized isin filter — image bytes never ride
+    a shuffle.  Rows-only: runs on the synthesized image fixture
+    (no driver table; pinned by the planted-duplicate test)."""
+    import ray
+
+    from ..sources.synth import gen_images
+    from ..stages.cluster import connected_components
+
+    images, _ = gen_images(400, seed=42, dup_rate=0.05)
+    ds = ray.data.from_arrow(images.select(["image_id", "phash"]))
+    pairs = dd.phash_near_pairs(ds, max_hamming=6)
+    if isinstance(pairs, pd.DataFrame):
+        pairs_pd = pairs
+    else:
+        pairs_pd = pairs.to_pandas()
+    if len(pairs_pd):
+        cl = connected_components(
+            pairs_pd[["id_a", "id_b"]], col_a="id_a", col_b="id_b"
+        ).to_pandas()
+        drop = cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"].to_numpy(
+            np.int64
+        )
+    else:
+        drop = np.zeros(0, np.int64)
+    meta = ray.data.from_arrow(images.select(["image_id", "fmt"]))
+    drop_ref = ray.put(np.sort(drop))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(drop_ref)
+        m = ~b["image_id"].astype("int64").isin(d)
+        out = b.loc[m, ["fmt"]].copy()
+        return out.groupby("fmt", as_index=False).agg(n_images=("fmt", "size"))
+
+    out = _part_groupby(
+        meta.map_batches(keep, batch_format="pandas"),
+        ["fmt"],
+        {"n_images": "sum"},
+    ).to_pandas()
+    out["n_images"] = out["n_images"].astype("int64")
+    return out.sort_values("fmt").reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ catalog
 
 
@@ -3289,6 +3336,7 @@ def queries():
         "q53_kmeans_clusters": q53_kmeans_clusters,
         "q54_weighted_sample": q54_weighted_sample,
         "q64_image_funnel": q64_image_funnel,
+        "q72_image_neardup_survivors": q72_image_neardup_survivors,
     }
 
 def oracle_sql():
