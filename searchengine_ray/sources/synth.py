@@ -45,9 +45,22 @@ _CAPTION_WORDS = (
 
 
 def gen_images(
-    n: int, seed: int = 42, sizes=(16, 32), dup_rate: float = 0.02
+    n: int,
+    seed: int = 42,
+    sizes=(16, 32),
+    dup_rate: float = 0.02,
+    base_style: str = "gradient",
 ) -> tuple[pa.Table, pa.Table]:
-    """images table (input_hint schema) + truth sidecar (pixels sha256)."""
+    """images table (input_hint schema) + truth sidecar (pixels sha256).
+
+    ``base_style="gradient"`` (default): structured gradient tiles —
+    compressible, but the shared ramp makes DISTINCT images
+    perceptually near-identical (phash Hamming ≤ 6 collisions between
+    non-duplicates are common).  ``base_style="speckle"``: high-entropy
+    per-image random texture — distinct images are phash-separable
+    (expected Hamming ≈ 32), so only planted duplicates collide; use
+    for near-dup-survivor fixtures (q72) where the drop set must equal
+    the planted dups."""
     rng = np.random.default_rng(seed)
     fmts = rng.choice(["png", "jpeg", "bmp"], size=n, p=[0.4, 0.4, 0.2])
     ws = rng.choice(sizes, size=n).astype(np.int32)
@@ -64,6 +77,16 @@ def gen_images(
             pixels = pixel_cache[src]
             fmt = fmt_cache[src]
             ws[i], hs[i] = pixels.shape[1], pixels.shape[0]
+        elif base_style == "speckle":
+            # per-PIXEL random noise → the 64 phash cell averages are
+            # iid across images (a tiled 8×8 block would alias with
+            # phash's own 8×8 box-downsample grid and collapse the
+            # hash to ≤16 independent bits); distinct images land
+            # Hamming ≈ 32 apart, P(d ≤ 6) ≈ 4e-12 per pair
+            pixels = rng.integers(
+                0, 256, size=(int(hs[i]), int(ws[i]), 3), dtype=np.uint8
+            )
+            fmt = str(fmts[i])
         else:
             # gradient + noise tiles → structured, compressible, unique
             yy, xx = np.mgrid[0 : hs[i], 0 : ws[i]]

@@ -11,12 +11,24 @@ combiner-first pattern, never a driver-side loop over rows.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import fnv1a64_batch
 from .text import TOKEN_RE
+
+logger = logging.getLogger(__name__)
+
+# Per-(band_id, band_hash) bucket membership cap for the LSH
+# self-merge.  A bucket of size m emits m(m−1)/2 pairs; at 100 TB a
+# boilerplate template repeated 100k times would otherwise produce
+# 5e9 pairs from ONE bucket.  Over the cap we emit m−1 star pairs
+# against the bucket's min-id representative instead — connected
+# components recovers the same clusters transitively.
+_LSH_BUCKET_CAP = 256
 
 
 def _ncpus() -> int:
@@ -272,18 +284,57 @@ def _lsh_candidate_stages(
 
     def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # all rows of any (band_id, band_hash) bucket land in this
-        # partition; one vectorized self-merge covers every bucket here
-        pr = g.merge(g, on=["band_id", "band_hash"], suffixes=("_a", "_b"))
-        pr = pr[pr[f"{id_col}_a"] < pr[f"{id_col}_b"]]
-        out = pr[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
-        out.columns = ["id_a", "id_b"]
-        if out.empty:
+        # partition; one vectorized self-merge covers every bucket
+        # here.  Buckets larger than _LSH_BUCKET_CAP (mass-duplicated
+        # content: boilerplate pages, a template repeated 10k times)
+        # would make the self-merge quadratic — for those, emit only
+        # star pairs against the bucket's min-id representative.  The
+        # downstream exact-verify + connected-components pass still
+        # links every true duplicate transitively through the hub,
+        # so cluster membership is unchanged; only redundant
+        # intra-cluster edges are dropped.
+        sizes = g.groupby(["band_id", "band_hash"])[id_col].transform(
+            "size"
+        )
+        capped = sizes > _LSH_BUCKET_CAP
+        frames = []
+        small = g[~capped]
+        if len(small):
+            pr = small.merge(
+                small, on=["band_id", "band_hash"], suffixes=("_a", "_b")
+            )
+            pr = pr[pr[f"{id_col}_a"] < pr[f"{id_col}_b"]]
+            frames.append(pr[[f"{id_col}_a", f"{id_col}_b"]])
+        big = g[capped]
+        if len(big):
+            n_big = big.groupby(["band_id", "band_hash"]).ngroups
+            logger.warning(
+                "LSH: %d bucket(s) over cap %d (max size %d) — "
+                "emitting star pairs vs min-id representative",
+                n_big,
+                _LSH_BUCKET_CAP,
+                int(sizes[capped].max()),
+            )
+            rep = big.groupby(["band_id", "band_hash"])[id_col].transform(
+                "min"
+            )
+            ids = big[id_col].to_numpy(np.int64)
+            reps = rep.to_numpy(np.int64)
+            m = ids != reps  # rep is the bucket min → rep < id holds
+            frames.append(
+                pd.DataFrame(
+                    {f"{id_col}_a": reps[m], f"{id_col}_b": ids[m]}
+                )
+            )
+        if not frames:
             return pd.DataFrame(
                 {
                     "id_a": pd.Series([], dtype="int64"),
                     "id_b": pd.Series([], dtype="int64"),
                 }
             )
+        out = pd.concat(frames, ignore_index=True).drop_duplicates()
+        out.columns = ["id_a", "id_b"]
         return out
 
     # candidate pairs may repeat across band partitions (a pair can

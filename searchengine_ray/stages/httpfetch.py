@@ -34,6 +34,7 @@ import urllib.parse
 import urllib.request
 from concurrent.futures import ThreadPoolExecutor
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -110,6 +111,16 @@ class HttpFetchDecode:
     def warm(self) -> bool:
         return True
 
+    def close(self) -> None:
+        """Shut down the fetch thread pool (idempotent)."""
+        self.pool.shutdown(wait=False, cancel_futures=True)
+
+    def __del__(self):  # actor teardown — don't leak threads
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _fetch(self, url: str) -> tuple[str, int, str, bytes]:
         """GET with ONE redirect hop → (final_url, status, ctype, body).
         status < 0 encodes a transport failure (timeout/connect)."""
@@ -142,6 +153,7 @@ class HttpFetchDecode:
 
         out = {k.name: [] for k in CONTENT_SCHEMA}
         pay = {k.name: [] for k in PAYLOAD_SCHEMA}
+        pay_epochs: list[int] = []  # per-row epoch for partition routing
         raw_links: list[str] = []
         link_seq: list[int] = []
         link_pos: list[int] = []
@@ -168,6 +180,7 @@ class HttpFetchDecode:
                     pay["fetch_seq"].append(fseq)
                     pay["image_id"].append(final_url)
                     pay["bytes"].append(body)
+                    pay_epochs.append(int(epochs[i]))
             out["fetch_seq"].append(fseq)
             out["epoch"].append(int(epochs[i]))
             out["url"].append(urls[i])
@@ -186,14 +199,23 @@ class HttpFetchDecode:
             link_pos.extend(range(len(links)))
         content = pa.table(out, schema=CONTENT_SCHEMA)
         if self.payload_dir is not None and pay["fetch_seq"]:
-            d = os.path.join(self.payload_dir, f"epoch={int(epochs[0])}")
-            os.makedirs(d, exist_ok=True)
-            pq.write_table(
-                pa.table(pay, schema=PAYLOAD_SCHEMA),
-                os.path.join(d, f"part-{pay['fetch_seq'][0]:010d}.parquet"),
-                compression="none",
-                use_dictionary=False,
-            )
+            # Partition payload rows by THEIR OWN epoch — a batch that
+            # straddles an epoch boundary must not file rows under the
+            # wrong partition (resume skips finished epoch dirs).
+            tbl = pa.table(pay, schema=PAYLOAD_SCHEMA)
+            ep = np.asarray(pay_epochs, dtype=np.int64)
+            for e in np.unique(ep):
+                d = os.path.join(self.payload_dir, f"epoch={int(e)}")
+                os.makedirs(d, exist_ok=True)
+                sub = tbl.filter(pa.array(ep == e))
+                pq.write_table(
+                    sub,
+                    os.path.join(
+                        d, f"part-{sub['fetch_seq'][0].as_py():010d}.parquet"
+                    ),
+                    compression="none",
+                    use_dictionary=False,
+                )
         cand = make_candidates(raw_links, link_seq, link_pos, self.shard_count)
         self._calls += 1
         self._pages += len(content)

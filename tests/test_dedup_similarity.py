@@ -71,6 +71,42 @@ def test_minhash_lsh_many_partitions(ray_session):
     assert (0, 499) in found
 
 
+def test_lsh_bucket_cap_mass_duplicate(ray_session):
+    """Adversarial: 10k IDENTICAL docs land in ONE bucket per band.
+    Uncapped that is 10k·9999/2 ≈ 5e7 pairs per band × 32 bands; the
+    _LSH_BUCKET_CAP guard must emit only star pairs against the
+    bucket min-id so the candidate list is linear (n−1 pairs) and the
+    run completes quickly.  Cluster semantics are preserved: every
+    doc is reachable from doc 0 through the hub."""
+    import ray
+
+    from searchengine_ray.stages import dedup
+
+    n = 10_000
+    df = pd.DataFrame(
+        {"doc_id": range(n), "text": ["alpha beta gamma delta epsilon"] * n}
+    )
+    cand = dedup.minhash_lsh_candidates(ray.data.from_pandas(df))
+    # star topology: exactly n−1 pairs, all anchored at min id 0
+    assert len(cand) == n - 1
+    assert (cand["id_a"] == 0).all()
+    assert set(cand["id_b"]) == set(range(1, n))
+
+
+def test_lsh_bucket_cap_preserves_small_buckets(ray_session, docs_with_dups):
+    """The cap must not change results for normal-sized buckets:
+    planted dup pairs still surface as candidates."""
+    import ray
+
+    from searchengine_ray.stages import dedup
+
+    ds = ray.data.from_pandas(docs_with_dups)
+    cand = dedup.minhash_lsh_candidates(ds)
+    found = set(zip(cand["id_a"], cand["id_b"]))
+    assert (0, 30) in found
+    assert (1, 31) in found
+
+
 def test_minhash_signature_semantics(ray_session):
     """Vectorized signatures: exact dups get identical signatures;
     jaccard_est of an exact dup is 1.0; disjoint docs stay far."""
