@@ -65,6 +65,9 @@ QUERY_NAMES = [
     "q44_range_join",
     "q49_heavy_tokens",
     "q50_price_quantiles",
+    "q69_duplicate_spans",
+    "q70_repetition_stats",
+    "q73_span_removal",
 ]
 
 

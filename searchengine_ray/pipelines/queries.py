@@ -3279,6 +3279,68 @@ def q72_image_neardup_survivors(sf_dir: str):
     return out.sort_values("fmt").reset_index(drop=True)
 
 
+def q73_span_removal(sf_dir: str):
+    """Substring-dedup TRANSFORM (Lee et al. 2021) — the removal half
+    of q69's detection: every duplicated 8-gram span is cut from the
+    corpus except the globally-first occurrence (canonical = min
+    (doc_id, pos) per gram), text re-serialized from the surviving
+    tokens (``stages/spans.remove_duplicate_spans``; two shuffles:
+    gram-keyed for global first-occurrence, doc-keyed tagged union for
+    the rewrite — text rides a shuffle exactly once).  Result is the
+    per-source token accounting of the cleaned corpus; the cleaned
+    text itself stays distributed (write_parquet it at scale)."""
+    from ..stages.spans import remove_duplicate_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    clean = remove_duplicate_spans(ds, K=8, meta_cols=("source",))
+
+    def roll(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("source", as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            sum_tokens=("n_tokens", "sum"),
+            cut_tokens=("cut_tokens", "sum"),
+            kept_tokens=("kept_tokens", "sum"),
+        )
+
+    out = _final_combine(
+        clean.map_batches(roll, batch_format="pandas"),
+        ["source"],
+        ["n_docs", "sum_tokens", "cut_tokens", "kept_tokens"],
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_Q73 = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+p AS (SELECT doc_id, unnest(range(len(toks)-{_Q69_K}+1)) AS pos, toks
+      FROM t WHERE len(toks) >= {_Q69_K}),
+g AS (SELECT doc_id, pos,
+             array_to_string(toks[pos+1:pos+{_Q69_K}], ' ') AS gram FROM p),
+r AS (SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY gram) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY gram
+                                ORDER BY doc_id, pos) AS rn
+      FROM g),
+hits AS (SELECT doc_id, pos FROM r WHERE cnt > 1 AND rn > 1),
+m AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= {_Q69_K}
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits),
+isl AS (SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM m),
+sp AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {_Q69_K} AS e
+       FROM isl GROUP BY doc_id, island),
+cut AS (SELECT doc_id, SUM(e - s) AS c FROM sp GROUP BY doc_id)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS sum_tokens,
+       CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS cut_tokens,
+       CAST(SUM(len(toks)) - SUM(COALESCE(c, 0)) AS BIGINT) AS kept_tokens
+FROM t LEFT JOIN cut USING (doc_id) GROUP BY source ORDER BY source
+"""
+
+
 # ------------------------------------------------------------------ catalog
 
 
@@ -3299,7 +3361,6 @@ def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q03_revenue_by_segment": q03_revenue_by_segment,
-        "q05_nation_orders": q05_nation_orders,
         "q06_revenue_filter": q06_revenue_filter,
         "q08_events_hourly": q08_events_hourly,
         "q09_top_users": q09_top_users,
@@ -3347,10 +3408,12 @@ def queries():
         "q69_duplicate_spans": q69_duplicate_spans,
         "q70_repetition_stats": q70_repetition_stats,
         "q71_stratified_sample": q71_stratified_sample,
+        "q73_span_removal": q73_span_removal,
         # ---- oracle-checked but rotated OUT of the driver's 50-slot
         # window (driver-green r1–r4; still run vs DuckDB in the
         # local replica gate every round) ----
         "q02_top_orders": q02_top_orders,
+        "q05_nation_orders": q05_nation_orders,
         "q04_customers_without_orders": q04_customers_without_orders,
         "q07_distinct_flags": q07_distinct_flags,
         "q35_props_extract": q35_props_extract,
@@ -3432,4 +3495,5 @@ def oracle_sql():
         "q69_duplicate_spans": SQL_Q69,
         "q70_repetition_stats": SQL_Q70,
         "q71_stratified_sample": SQL_Q71,
+        "q73_span_removal": SQL_Q73,
     }

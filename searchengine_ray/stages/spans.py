@@ -171,6 +171,166 @@ def repetition_stats(texts) -> pd.DataFrame:
     )
 
 
+def remove_duplicate_spans(
+    ds, K: int = 8, npart: int | None = None, meta_cols: tuple = ()
+):
+    """Substring DEDUP (the transform half of ``duplicate_spans``):
+    rewrite the corpus with every duplicated token span cut except a
+    globally-chosen first occurrence (Lee et al. 2021 semantics).
+
+    Rule, deterministic on both the Ray and SQL sides: for each
+    K-gram occurring >1 time in the corpus, the canonical occurrence
+    is the lexicographic min (doc_id, pos); every OTHER occurrence is
+    a cut window [pos, pos+K).  Cut windows union into covered token
+    ranges per doc (overlap/touching windows coalesce, exactly the
+    island rule of ``merge_positions_to_spans``); covered tokens are
+    removed and the survivors re-serialized space-joined (original
+    inter-token whitespace/punct is not preserved — the output is a
+    training-corpus text, not a byte-identical document).  Edge
+    effect, shared with the reference algorithm: a cut window may
+    overlap a canonical window of a DIFFERENT gram, so a canonical
+    copy can lose tokens when its doc also holds cut windows nearby.
+
+    100-TB shape: two shuffles.  (1) 24-byte (gram, doc, pos) rows
+    hash-partition by gram — each partition sees every occurrence of
+    its grams, so "non-first occurrence" is one sorted-adjacency test;
+    (2) the cut rows (duplication-scale, not corpus-scale) and the
+    doc rows co-partition by doc_id via a tagged union — the text
+    rides this shuffle ONCE, and re-serialization is a vectorized
+    coverage-mask + ``pc.binary_join`` per partition.
+
+    Returns a Dataset of (doc_id, *meta_cols, n_tokens, cut_tokens,
+    kept_tokens, text_clean) — corpus-sized; aggregate or write it,
+    don't ``to_pandas`` it at scale."""
+    from ..pipelines.queries import _ncpus
+
+    npart = npart or _ncpus()
+    meta_cols = tuple(meta_cols)
+
+    _UN = pa.schema(
+        [("dpart", pa.int64()), ("role", pa.int8()), ("doc_id", pa.int64())]
+        + [(c, pa.string()) for c in meta_cols]
+        + [("text", pa.string()), ("pos", pa.int64())]
+    )
+
+    def windows(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        didx, pos, gh = kgram_window_hashes(texts, K)
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[didx], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "gram": pa.array(gh.view(np.int64)),
+                "part": pa.array((gh % np.uint64(npart)).astype(np.int64)),
+            }
+        )
+
+    def cut_rows(g: pd.DataFrame) -> pa.Table:
+        # partition is gram-complete; after a (gram, doc, pos) sort an
+        # occurrence is CUT iff its gram equals the previous row's
+        # (i.e. it is a non-first occurrence of a duplicated gram)
+        o = g.sort_values(["gram", "doc_id", "pos"])
+        grams = o["gram"].to_numpy()
+        cut = np.zeros(len(o), bool)
+        if len(o) > 1:
+            cut[1:] = grams[1:] == grams[:-1]
+        out = o[cut]
+        doc = out["doc_id"].to_numpy(np.int64)
+        cols = {
+            "dpart": pa.array(
+                (doc.astype(np.uint64) % np.uint64(npart)).astype(np.int64)
+            ),
+            "role": pa.array(np.ones(len(out), np.int8)),
+            "doc_id": pa.array(doc, pa.int64()),
+        }
+        for c in meta_cols:
+            cols[c] = pa.array([""] * len(out), pa.string())
+        cols["text"] = pa.array([""] * len(out), pa.string())
+        cols["pos"] = pa.array(out["pos"].to_numpy(np.int64), pa.int64())
+        return pa.table(cols, schema=_UN)
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            "dpart": pa.array(
+                (doc.astype(np.uint64) % np.uint64(npart)).astype(np.int64)
+            ),
+            "role": pa.array(np.zeros(len(doc), np.int8)),
+            "doc_id": pa.array(doc, pa.int64()),
+        }
+        for c in meta_cols:
+            cols[c] = b[c].cast(pa.string())
+        cols["text"] = b["text"].cast(pa.string())
+        cols["pos"] = pa.array(np.full(len(doc), -1), pa.int64())
+        return pa.table(cols, schema=_UN)
+
+    def reserialize(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        docs = g[g["role"] == 0]
+        cuts = g[g["role"] == 1]
+        nd = len(docs)
+        counts, idx, dic = tx._token_dict(docs["text"].tolist())
+        off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        total = int(off[-1])
+        covered = np.zeros(total, bool)
+        if len(cuts) and total:
+            pos_of = pd.Series(
+                np.arange(nd), index=docs["doc_id"].to_numpy()
+            )
+            di = pos_of[cuts["doc_id"].to_numpy()].to_numpy()
+            s = off[di] + cuts["pos"].to_numpy(np.int64)
+            e = np.minimum(s + K, off[di + 1])
+            delta = np.zeros(total + 1, np.int64)
+            np.add.at(delta, s, 1)
+            np.add.at(delta, e, -1)
+            covered = np.cumsum(delta[:-1]) > 0
+        if total:
+            doc_of = (
+                np.searchsorted(off, np.arange(total), side="right") - 1
+            )
+            cutc = np.bincount(
+                doc_of[covered], minlength=nd
+            ).astype(np.int64)
+            keep = ~covered
+            kept_per_doc = np.bincount(
+                doc_of[keep], minlength=nd
+            ).astype(np.int64)
+            vals = dic.take(pa.array(idx[keep], pa.int64()))
+            lst = pa.ListArray.from_arrays(
+                pa.array(
+                    np.concatenate([[0], np.cumsum(kept_per_doc)]),
+                    pa.int32(),
+                ),
+                vals,
+            )
+            clean = pc.binary_join(lst, " ").to_pylist()
+        else:
+            cutc = np.zeros(nd, np.int64)
+            clean = [""] * nd
+        out = {"doc_id": docs["doc_id"].to_numpy(np.int64)}
+        for c in meta_cols:
+            out[c] = docs[c].to_numpy()
+        out["n_tokens"] = counts
+        out["cut_tokens"] = cutc
+        out["kept_tokens"] = counts - cutc
+        out["text_clean"] = clean
+        return pd.DataFrame(out)
+
+    cut_ds = (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(cut_rows, batch_format="pandas")
+    )
+    docs_ds = ds.map_batches(doc_rows, batch_format="pyarrow")
+    return (
+        docs_ds.union(cut_ds)
+        .groupby("dpart")
+        .map_groups(reserialize, batch_format="pandas")
+    )
+
+
 def duplicate_spans(ds, K: int = 8, npart: int | None = None) -> pd.DataFrame:
     """Corpus-wide duplicated-span report over a (doc_id, text)
     dataset: per doc, the count and total token coverage of maximal
