@@ -3341,6 +3341,77 @@ FROM t LEFT JOIN cut USING (doc_id) GROUP BY source ORDER BY source
 """
 
 
+def q74_cosine_simjoin(sf_dir: str):
+    """EXACT embedding cosine similarity self-join (all pairs with
+    cos ≥ 0.4) — the oracle-checked exact baseline of the embedding
+    near-dup family (q29 is the hyperplane-LSH recall path, q28 the
+    IVF ANN path; this is the charter's 'brute-force cosine against a
+    broadcast matrix' baseline made a first-class verified operator).
+
+    Shape: the normalized matrix broadcasts once via ``ray.put``
+    (zero-copy plasma reads in every task); each batch computes ONE
+    k×n matmul and keeps its upper-triangle hits, so compute is
+    O(n²/ncpus) per task with no shuffle at all.  At corpus scale the
+    broadcast side outgrows plasma — that regime belongs to the
+    blocked/LSH paths (q28/q29); this operator is the exact-verify
+    primitive they calibrate against."""
+    import ray
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = tbl["vec_id"].to_numpy()
+    emb = np.stack(tbl["embedding"].to_pandas().to_numpy()).astype(
+        np.float64
+    )
+    nrm = np.linalg.norm(emb, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1
+    mat_ref = ray.put(emb / nrm)
+    ids_ref = ray.put(ids)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        mat = ray.get(mat_ref)
+        all_ids = ray.get(ids_ref)
+        e = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(e, axis=1, keepdims=True)
+        n[n == 0] = 1
+        sims = (e / n) @ mat.T
+        my_ids = b["vec_id"].to_numpy(np.int64)
+        bi, bj = np.nonzero(sims >= 0.4)
+        ia, ib = my_ids[bi], all_ids[bj]
+        keep = ia < ib  # upper triangle by id — each pair emitted once
+        return pd.DataFrame(
+            {
+                "id_a": ia[keep],
+                "id_b": ib[keep],
+                "cos_sim": np.round(sims[bi, bj][keep], 3),
+            }
+        )
+
+    out = ds.map_batches(pairs, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_Q74 = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                  AS DOUBLE), 3) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 # ------------------------------------------------------------------ catalog
 
 
@@ -3361,7 +3432,6 @@ def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q03_revenue_by_segment": q03_revenue_by_segment,
-        "q06_revenue_filter": q06_revenue_filter,
         "q08_events_hourly": q08_events_hourly,
         "q09_top_users": q09_top_users,
         "q10_doc_dedup_exact": q10_doc_dedup_exact,
@@ -3409,11 +3479,13 @@ def queries():
         "q70_repetition_stats": q70_repetition_stats,
         "q71_stratified_sample": q71_stratified_sample,
         "q73_span_removal": q73_span_removal,
+        "q74_cosine_simjoin": q74_cosine_simjoin,
         # ---- oracle-checked but rotated OUT of the driver's 50-slot
         # window (driver-green r1–r4; still run vs DuckDB in the
         # local replica gate every round) ----
         "q02_top_orders": q02_top_orders,
         "q05_nation_orders": q05_nation_orders,
+        "q06_revenue_filter": q06_revenue_filter,
         "q04_customers_without_orders": q04_customers_without_orders,
         "q07_distinct_flags": q07_distinct_flags,
         "q35_props_extract": q35_props_extract,
@@ -3496,4 +3568,5 @@ def oracle_sql():
         "q70_repetition_stats": SQL_Q70,
         "q71_stratified_sample": SQL_Q71,
         "q73_span_removal": SQL_Q73,
+        "q74_cosine_simjoin": SQL_Q74,
     }
