@@ -3412,6 +3412,55 @@ ORDER BY id_a, id_b
 """
 
 
+# GPT-2-style pretokenizer, lookahead-free so RE2 (pyarrow AND DuckDB)
+# can run it: optional leading space + letter run / digit run /
+# punct run.  Both engines are RE2 → exact count parity by
+# construction.
+_BPE_PAT = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def q75_pretokenize(sf_dir: str):
+    """Token counting, tokenizer-family edition (charter: 'whitespace
+    + a BPE-ish regex'): per doc, the whitespace token count and the
+    GPT-2-style pretoken count (the unit a BPE tokenizer would merge
+    from).  Fully per-doc → one zero-copy pyarrow pass; counts come
+    from ``pc.count_substring_regex`` (RE2), the SAME regex engine
+    DuckDB's ``regexp_extract_all`` uses, so the oracle comparison is
+    engine-exact, not merely dialect-similar."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_ws_tokens": pc.cast(
+                    pc.count_substring_regex(txt, r"\S+"), pa.int64()
+                ),
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(
+                        pc.utf8_lower(txt), _BPE_PAT
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+SQL_Q75 = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+           AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{_BPE_PAT}')) AS BIGINT)
+           AS n_bpe_tokens
+FROM documents
+"""
+
+
 # ------------------------------------------------------------------ catalog
 
 
@@ -3432,7 +3481,6 @@ def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q03_revenue_by_segment": q03_revenue_by_segment,
-        "q08_events_hourly": q08_events_hourly,
         "q09_top_users": q09_top_users,
         "q10_doc_dedup_exact": q10_doc_dedup_exact,
         "q11_token_stats": q11_token_stats,
@@ -3480,6 +3528,7 @@ def queries():
         "q71_stratified_sample": q71_stratified_sample,
         "q73_span_removal": q73_span_removal,
         "q74_cosine_simjoin": q74_cosine_simjoin,
+        "q75_pretokenize": q75_pretokenize,
         # ---- oracle-checked but rotated OUT of the driver's 50-slot
         # window (driver-green r1–r4; still run vs DuckDB in the
         # local replica gate every round) ----
@@ -3488,6 +3537,7 @@ def queries():
         "q06_revenue_filter": q06_revenue_filter,
         "q04_customers_without_orders": q04_customers_without_orders,
         "q07_distinct_flags": q07_distinct_flags,
+        "q08_events_hourly": q08_events_hourly,
         "q35_props_extract": q35_props_extract,
         "q42_sliding_window": q42_sliding_window,
         # ---- rows-only (no SQL oracle possible; see COVERAGE.md) ----
@@ -3569,4 +3619,5 @@ def oracle_sql():
         "q71_stratified_sample": SQL_Q71,
         "q73_span_removal": SQL_Q73,
         "q74_cosine_simjoin": SQL_Q74,
+        "q75_pretokenize": SQL_Q75,
     }
