@@ -3412,6 +3412,77 @@ ORDER BY id_a, id_b
 """
 
 
+def q76_embedding_neardup_survivors(sf_dir: str):
+    """Embedding near-dup SURVIVORS (SemDeDup-style corpus pruning,
+    exact edition): q74's exact cosine pair set closed into connected
+    components; one canonical vector (min vec_id) survives per
+    component, every other member is dropped; result = per-label
+    survivor counts.  The embedding analog of q48's text-near-dup
+    survivors — same shape: result-sized pair list → CC → broadcast
+    drop set → vectorized isin filter, the corpus never re-shuffles.
+    Oracle: DuckDB recursive-CTE closure over the identical
+    list_cosine_similarity pair set."""
+    import ray
+
+    from ..stages.cluster import connected_components
+
+    pairs = q74_cosine_simjoin(sf_dir)
+    if len(pairs):
+        cl = connected_components(
+            pairs[["id_a", "id_b"]], col_a="id_a", col_b="id_b"
+        ).to_pandas()
+        drop = cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"].to_numpy(
+            np.int64
+        )
+    else:
+        drop = np.zeros(0, np.int64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label"])
+    drop_ref = ray.put(np.sort(drop))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(drop_ref)
+        got = b["vec_id"].to_numpy(np.int64)
+        if len(d):
+            pos = np.searchsorted(d, got)
+            dropped = (pos < len(d)) & (
+                d[np.minimum(pos, len(d) - 1)] == got
+            )
+        else:
+            dropped = np.zeros(len(b), bool)
+        out = b.loc[~dropped, ["label"]].copy()
+        out["label"] = out["label"].astype("int64")
+        return out.groupby("label", as_index=False).agg(
+            n_vecs=("label", "size")
+        )
+
+    return _final_combine(
+        ds.map_batches(keep, batch_format="pandas"), ["label"], ["n_vecs"]
+    ).sort_values("label").reset_index(drop=True)
+
+
+SQL_Q76 = """
+WITH RECURSIVE
+p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+edges AS (SELECT ia AS a, ib AS b FROM p
+          UNION SELECT ib, ia FROM p
+          UNION SELECT ia, ia FROM p
+          UNION SELECT ib, ib FROM p),
+reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a
+),
+cl AS (SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+dropped AS (SELECT vec_id FROM cl WHERE vec_id != cluster_id)
+SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+GROUP BY label ORDER BY label
+"""
+
+
 # GPT-2-style pretokenizer, lookahead-free so RE2 (pyarrow AND DuckDB)
 # can run it: optional leading space + letter run / digit run /
 # punct run.  Both engines are RE2 → exact count parity by
@@ -3481,7 +3552,6 @@ def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q03_revenue_by_segment": q03_revenue_by_segment,
-        "q09_top_users": q09_top_users,
         "q10_doc_dedup_exact": q10_doc_dedup_exact,
         "q11_token_stats": q11_token_stats,
         "q12_word_counts": q12_word_counts,
@@ -3529,6 +3599,7 @@ def queries():
         "q73_span_removal": q73_span_removal,
         "q74_cosine_simjoin": q74_cosine_simjoin,
         "q75_pretokenize": q75_pretokenize,
+        "q76_embedding_neardup_survivors": q76_embedding_neardup_survivors,
         # ---- oracle-checked but rotated OUT of the driver's 50-slot
         # window (driver-green r1–r4; still run vs DuckDB in the
         # local replica gate every round) ----
@@ -3538,6 +3609,7 @@ def queries():
         "q04_customers_without_orders": q04_customers_without_orders,
         "q07_distinct_flags": q07_distinct_flags,
         "q08_events_hourly": q08_events_hourly,
+        "q09_top_users": q09_top_users,
         "q35_props_extract": q35_props_extract,
         "q42_sliding_window": q42_sliding_window,
         # ---- rows-only (no SQL oracle possible; see COVERAGE.md) ----
@@ -3620,4 +3692,5 @@ def oracle_sql():
         "q73_span_removal": SQL_Q73,
         "q74_cosine_simjoin": SQL_Q74,
         "q75_pretokenize": SQL_Q75,
+        "q76_embedding_neardup_survivors": SQL_Q76,
     }
