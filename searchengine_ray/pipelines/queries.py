@@ -3483,6 +3483,76 @@ GROUP BY label ORDER BY label
 """
 
 
+def q77_unigram_logprob(sf_dir: str):
+    """Perplexity-style quality scoring with a corpus unigram LM
+    (the CCNet-family 'score each doc by LM likelihood' op, with the
+    LM trained ON the corpus in the same pipeline): pass 1 builds the
+    global unigram distribution (per-batch combiner partials →
+    `_part_groupby`, the vocabulary never lands on the driver
+    unaggregated); the folded vocab broadcasts via ``ray.put`` (Zipf:
+    vocab ≪ corpus); pass 2 streams the corpus once more and computes
+    each doc's mean token negative-log-likelihood by dictionary-encode
+    + sorted-vocab searchsorted — no per-token Python.  Returns
+    per-doc (doc_id, n_tokens, nll) with nll rounded to 6 decimals so
+    the float reduction-order difference vs the SQL oracle vanishes."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = _part_groupby(
+        ds.map_batches(tx.word_count_partial, batch_format="pandas"),
+        ["word"],
+        {"cnt": "sum"},
+    ).to_pandas()
+    order = np.argsort(vocab["word"].to_numpy())
+    words = vocab["word"].to_numpy()[order]
+    counts = vocab["cnt"].to_numpy(np.float64)[order]
+    logp = np.log(counts / counts.sum())
+    vocab_ref = ray.put((words, logp))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        wv, lp = ray.get(vocab_ref)
+        cnts, idx, dic = tx._token_dict(b["text"].tolist())
+        n = len(b)
+        nll = np.zeros(n, np.float64)
+        if dic is not None and len(idx):
+            # per-dictionary-token logp gathered once, then summed per
+            # doc over the flat index stream
+            dtoks = np.asarray(dic.to_pylist(), dtype=object)
+            pos = np.searchsorted(wv, dtoks)
+            dlp = lp[np.minimum(pos, len(wv) - 1)]
+            off = np.concatenate([[0], np.cumsum(cnts)]).astype(np.int64)
+            doc_of = (
+                np.searchsorted(off, np.arange(len(idx)), side="right") - 1
+            )
+            sums = np.bincount(doc_of, weights=dlp[idx], minlength=n)
+            nz = cnts > 0
+            nll[nz] = -sums[nz] / cnts[nz]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_tokens": cnts.astype(np.int64),
+                "nll": np.round(nll, 6),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_Q77 = """
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS w FROM t),
+v AS (SELECT w, COUNT(*) AS c FROM e GROUP BY w),
+n AS (SELECT SUM(c) AS total FROM v),
+s AS (SELECT e.doc_id, COUNT(*) AS n_tokens,
+             AVG(-ln(v.c * 1.0 / n.total)) AS nll
+      FROM e JOIN v USING (w) CROSS JOIN n GROUP BY e.doc_id)
+SELECT t.doc_id, CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       ROUND(COALESCE(s.nll, 0.0), 6) AS nll
+FROM t LEFT JOIN s USING (doc_id) ORDER BY doc_id
+""".replace("{_TOKS}", _TOKS)
+
+
 # GPT-2-style pretokenizer, lookahead-free so RE2 (pyarrow AND DuckDB)
 # can run it: optional leading space + letter run / digit run /
 # punct run.  Both engines are RE2 → exact count parity by
@@ -3560,7 +3630,6 @@ def queries():
         "q15_embedding_topk": q15_embedding_topk,
         "q16_minhash_pairs": q16_minhash_pairs,
         "q18_jaccard_pairs": q18_jaccard_pairs,
-        "q19_sessionize": q19_sessionize,
         "q22_inverted_index": q22_inverted_index,
         "q26_brand_volume": q26_brand_volume,
         "q27_best_order_per_customer": q27_best_order_per_customer,
@@ -3600,6 +3669,7 @@ def queries():
         "q74_cosine_simjoin": q74_cosine_simjoin,
         "q75_pretokenize": q75_pretokenize,
         "q76_embedding_neardup_survivors": q76_embedding_neardup_survivors,
+        "q77_unigram_logprob": q77_unigram_logprob,
         # ---- oracle-checked but rotated OUT of the driver's 50-slot
         # window (driver-green r1–r4; still run vs DuckDB in the
         # local replica gate every round) ----
@@ -3610,6 +3680,7 @@ def queries():
         "q07_distinct_flags": q07_distinct_flags,
         "q08_events_hourly": q08_events_hourly,
         "q09_top_users": q09_top_users,
+        "q19_sessionize": q19_sessionize,
         "q35_props_extract": q35_props_extract,
         "q42_sliding_window": q42_sliding_window,
         # ---- rows-only (no SQL oracle possible; see COVERAGE.md) ----
@@ -3693,4 +3764,5 @@ def oracle_sql():
         "q74_cosine_simjoin": SQL_Q74,
         "q75_pretokenize": SQL_Q75,
         "q76_embedding_neardup_survivors": SQL_Q76,
+        "q77_unigram_logprob": SQL_Q77,
     }
