@@ -68,6 +68,7 @@ QUERY_NAMES = [
     "q69_duplicate_spans",
     "q70_repetition_stats",
     "q73_span_removal",
+    "q77_unigram_logprob",
 ]
 
 
