@@ -115,9 +115,14 @@ def cmd_get(args) -> int:
 
 
 def cmd_etl(args) -> int:
-    from .pipelines.export import corpus_etl
+    from .pipelines.export import corpus_etl, span_dedup_etl
 
-    print(json.dumps(corpus_etl(args.sf, args.out)))
+    stats = corpus_etl(args.sf, args.out)
+    if args.span_dedup:
+        stats["span_dedup"] = span_dedup_etl(
+            args.out, args.out.rstrip("/") + "_spandedup"
+        )
+    print(json.dumps(stats))
     return 0
 
 
@@ -183,6 +188,12 @@ def main(argv=None) -> int:
     )
     e.add_argument("--sf", default="/root/testdata/sf0.001")
     e.add_argument("--out", default="/tmp/corpus_etl")
+    e.add_argument(
+        "--span-dedup",
+        action="store_true",
+        help="phase 2: global substring dedup (Lee et al. 2021) into "
+        "<out>_spandedup (all-or-nothing atomic publish)",
+    )
     e.set_defaults(fn=cmd_etl)
 
     cu = sub.add_parser(

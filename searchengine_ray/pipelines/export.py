@@ -111,6 +111,70 @@ def check_worklist(out_dir: str, units: list[str]) -> None:
     os.replace(tmp, wl)
 
 
+def span_dedup_etl(in_dir: str, out_dir: str, K: int = 8) -> dict:
+    """Phase-2 ETL: GLOBAL substring dedup over a cleaned corpus
+    directory (Lee et al. 2021 semantics via
+    ``stages.spans.remove_duplicate_spans`` — every duplicated K-gram
+    span cut except the corpus-wide first occurrence).
+
+    Commit semantics differ from phase 1 BY NECESSITY: the transform
+    is global (any doc's output depends on every other doc), so there
+    is no per-fragment unit a resume could skip.  Instead the phase is
+    idempotent with an all-or-nothing commit: the Dataset streams
+    through ``write_parquet`` into ``<out>.tmp`` (many parts, Ray-
+    managed), a ``_SUCCESS`` marker is written, and the directory is
+    published by one atomic rename.  A crashed run leaves only a
+    ``.tmp`` dir that the next run clears; a completed run is detected
+    by ``_SUCCESS`` and skipped entirely."""
+    import shutil
+
+    import ray
+
+    from ..stages.spans import remove_duplicate_spans
+
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        total = sum(
+            pq.ParquetFile(os.path.join(out_dir, p)).metadata.num_rows
+            for p in os.listdir(out_dir)
+            if p.endswith(".parquet")
+        )
+        return {"skipped": True, "rows_total": total}
+    if os.path.exists(out_dir):  # torn publish (no _SUCCESS): redo
+        shutil.rmtree(out_dir)
+    tmp = out_dir.rstrip("/") + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    parts = [
+        os.path.join(in_dir, p)
+        for p in sorted(os.listdir(in_dir))
+        if p.startswith("part-") and p.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(parts, columns=["doc_id", "text"])
+    clean = remove_duplicate_spans(ds, K=K)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["doc_id", "text_clean", "n_tokens", "cut_tokens",
+                 "kept_tokens"]].copy()
+        return out.rename(columns={"text_clean": "text"})
+
+    clean.map_batches(finalize, batch_format="pandas").write_parquet(tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("")
+    os.replace(tmp, out_dir)  # commit point
+    import pyarrow.dataset as pads
+
+    acc = pads.dataset(
+        [os.path.join(out_dir, p) for p in os.listdir(out_dir)
+         if p.endswith(".parquet")]
+    ).to_table(columns=["cut_tokens", "kept_tokens"])
+    return {
+        "skipped": False,
+        "rows_total": acc.num_rows,
+        "cut_tokens": int(np.sum(acc["cut_tokens"].to_numpy())),
+        "kept_tokens": int(np.sum(acc["kept_tokens"].to_numpy())),
+    }
+
+
 def corpus_etl(sf_dir: str, out_dir: str) -> dict:
     """Run (or resume) the corpus ETL.  Returns {parts, skipped, rows}.
 

@@ -179,3 +179,65 @@ def test_resume_refuses_diverged_worklist(ray_session, tmp_path):
     )
     with _pytest.raises(ValueError, match="resume refused"):
         corpus_etl(sf, out)
+
+
+def test_span_dedup_etl_phase2(ray_session, multi_frag_input, tmp_path):
+    """Phase-2 global substring dedup: output matches the
+    remove_duplicate_spans stage run directly on the phase-1 corpus,
+    a completed publish is skipped on re-run (_SUCCESS), and a torn
+    publish (no _SUCCESS) is redone."""
+    import pandas as pd
+    import ray
+
+    from searchengine_ray.pipelines.export import corpus_etl, span_dedup_etl
+    from searchengine_ray.stages.spans import remove_duplicate_spans
+
+    clean_dir = str(tmp_path / "corpus")
+    corpus_etl(multi_frag_input, clean_dir)
+    out = str(tmp_path / "corpus_sd")
+    r1 = span_dedup_etl(clean_dir, out)
+    assert r1["skipped"] is False
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    got = (
+        pq.ParquetDataset(
+            [os.path.join(out, p) for p in os.listdir(out)
+             if p.endswith(".parquet")]
+        )
+        .read()
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got["kept_tokens"] + got["cut_tokens"] == got["n_tokens"]).all()
+    assert r1["rows_total"] == len(got)
+
+    # direct-stage parity on the same input
+    parts = [
+        os.path.join(clean_dir, p)
+        for p in sorted(os.listdir(clean_dir))
+        if p.startswith("part-") and p.endswith(".parquet")
+    ]
+    want = (
+        remove_duplicate_spans(
+            ray.data.read_parquet(parts, columns=["doc_id", "text"]), K=8
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_tokens", "cut_tokens", "kept_tokens"]],
+        want[["doc_id", "n_tokens", "cut_tokens", "kept_tokens"]],
+        check_dtype=False,
+    )
+    assert (got["text"] == want["text_clean"]).all()
+
+    # completed publish skips
+    r2 = span_dedup_etl(clean_dir, out)
+    assert r2["skipped"] is True and r2["rows_total"] == r1["rows_total"]
+
+    # torn publish (no _SUCCESS) is redone
+    os.remove(os.path.join(out, "_SUCCESS"))
+    r3 = span_dedup_etl(clean_dir, out)
+    assert r3["skipped"] is False
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
