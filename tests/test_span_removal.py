@@ -107,3 +107,69 @@ def test_short_and_empty_docs_pass_through(ray_session):
     assert (out["cut_tokens"] == 0).all()
     assert list(out["n_tokens"]) == [0, 3, 8]
     assert out.loc[1, "text_clean"] == "a b c"
+
+
+def _brute_span_removal(texts, K=8):
+    """Pure-Python reference of the removal rule: per duplicated gram,
+    min (doc, pos) survives; other occurrences' windows union into
+    per-doc coverage; covered tokens cut."""
+    import re
+
+    TOKEN_RE = re.compile(r"[a-z0-9]+")
+    toks = [TOKEN_RE.findall(t.lower()) for t in texts]
+    grams = {}
+    for d, ts in enumerate(toks):
+        for p in range(len(ts) - K + 1):
+            grams.setdefault(tuple(ts[p : p + K]), []).append((d, p))
+    cover = [set() for _ in toks]
+    for occ in grams.values():
+        if len(occ) > 1:
+            for d, p in sorted(occ)[1:]:
+                cover[d].update(range(p, p + K))
+    out = []
+    for d, ts in enumerate(toks):
+        kept = [w for i, w in enumerate(ts) if i not in cover[d]]
+        out.append(
+            {
+                "n_tokens": len(ts),
+                "cut_tokens": len(cover[d]),
+                "kept_tokens": len(ts) - len(cover[d]),
+                "text_clean": " ".join(kept),
+            }
+        )
+    return out
+
+
+def test_span_removal_matches_bruteforce_randomized(ray_session):
+    """Randomized corpora (shared runs planted at random offsets,
+    repeated phrases inside one doc, tiny vocab → accidental gram
+    collisions) must match the pure-Python reference exactly —
+    accounting AND re-serialized text."""
+    import ray
+
+    from searchengine_ray.stages.spans import remove_duplicate_spans
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]  # small vocab → real collisions
+    for trial in range(5):
+        docs = []
+        run = " ".join(rng.choice(vocab, 10))
+        for d in range(15):
+            words = list(rng.choice(vocab, int(rng.integers(5, 40))))
+            if d % 4 == 0:  # plant the shared run at a random offset
+                at = int(rng.integers(0, len(words)))
+                words[at:at] = run.split()
+            docs.append(" ".join(words))
+        df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+        got = (
+            remove_duplicate_spans(ray.data.from_pandas(df), K=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = _brute_span_removal(docs, K=8)
+        for d, w in enumerate(want):
+            row = got.iloc[d]
+            assert int(row["n_tokens"]) == w["n_tokens"], (trial, d)
+            assert int(row["cut_tokens"]) == w["cut_tokens"], (trial, d)
+            assert row["text_clean"] == w["text_clean"], (trial, d)
