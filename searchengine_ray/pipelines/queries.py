@@ -3483,6 +3483,96 @@ GROUP BY label ORDER BY label
 """
 
 
+def q78_top_decile(sf_dir: str):
+    """PERCENT_RANK window family (the rank member missing from the
+    window coverage: row_number=q56, running sum=q58/q66, lag
+    sessionize=q19, percentiles=q41): per return flag, how many
+    lineitems sit in the top price decile (percent_rank ≥ 0.9).
+
+    Two passes, no global sort: pass 1 folds per-(group, value)
+    counts (combiner partials → `_part_groupby`); the per-group
+    cumulative gives rank_lt (count strictly smaller — PERCENT_RANK's
+    numerator, ties sharing) for every DISTINCT value, which
+    broadcasts (value-domain-sized: prices live on a bounded cents
+    grid, ≪ rows at 100 TB).  Pass 2 streams rows once, looks ranks
+    up by searchsorted, and tests the decile with INTEGER arithmetic
+    (10·rank_lt ≥ 9·(n−1) ⇔ rank_lt/(n−1) ≥ 0.9 — IEEE division is
+    correctly rounded, so the float comparison in SQL agrees
+    exactly); only per-group counters cross to the driver."""
+    import ray
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["l_returnflag", "l_extendedprice"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+
+    vc = _part_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_extendedprice"],
+        {"cnt": "sum"},
+    ).to_pandas()
+    vc = vc.sort_values(["l_returnflag", "l_extendedprice"])
+    vc["lt"] = (
+        vc.groupby("l_returnflag")["cnt"].cumsum() - vc["cnt"]
+    ).astype(np.int64)
+    tables = {
+        rf: (
+            g["l_extendedprice"].to_numpy(np.float64),
+            g["lt"].to_numpy(np.int64),
+            int(g["cnt"].sum()),
+        )
+        for rf, g in vc.groupby("l_returnflag")
+    }
+    ref = ray.put(tables)
+
+    def roll(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(ref)
+        rows = []
+        for rf, g in b.groupby("l_returnflag"):
+            vals, lt, n = t[rf]
+            pos = np.searchsorted(
+                vals, g["l_extendedprice"].to_numpy(np.float64)
+            )
+            top = (
+                int((10 * lt[pos] >= 9 * (n - 1)).sum()) if n > 1 else 0
+            )
+            rows.append(
+                {"l_returnflag": rf, "n_top_decile": top, "n_rows": len(g)}
+            )
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "l_returnflag": pd.Series([], dtype=object),
+                    "n_top_decile": pd.Series([], dtype="int64"),
+                    "n_rows": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = _final_combine(
+        ds.map_batches(roll, batch_format="pandas"),
+        ["l_returnflag"],
+        ["n_top_decile", "n_rows"],
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_Q78 = """
+WITH r AS (SELECT l_returnflag,
+                  PERCENT_RANK() OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_extendedprice) AS pr
+           FROM lineitem)
+SELECT l_returnflag,
+       CAST(COUNT(*) FILTER (WHERE pr >= 0.9) AS BIGINT) AS n_top_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q77_unigram_logprob(sf_dir: str):
     """Perplexity-style quality scoring with a corpus unigram LM
     (the CCNet-family 'score each doc by LM likelihood' op, with the
@@ -3631,7 +3721,6 @@ def queries():
         "q16_minhash_pairs": q16_minhash_pairs,
         "q18_jaccard_pairs": q18_jaccard_pairs,
         "q22_inverted_index": q22_inverted_index,
-        "q26_brand_volume": q26_brand_volume,
         "q27_best_order_per_customer": q27_best_order_per_customer,
         "q34_region_revenue": q34_region_revenue,
         "q36_supplier_balance": q36_supplier_balance,
@@ -3670,6 +3759,7 @@ def queries():
         "q75_pretokenize": q75_pretokenize,
         "q76_embedding_neardup_survivors": q76_embedding_neardup_survivors,
         "q77_unigram_logprob": q77_unigram_logprob,
+        "q78_top_decile": q78_top_decile,
         # ---- oracle-checked but rotated OUT of the driver's 50-slot
         # window (driver-green r1–r4; still run vs DuckDB in the
         # local replica gate every round) ----
@@ -3681,6 +3771,7 @@ def queries():
         "q08_events_hourly": q08_events_hourly,
         "q09_top_users": q09_top_users,
         "q19_sessionize": q19_sessionize,
+        "q26_brand_volume": q26_brand_volume,
         "q35_props_extract": q35_props_extract,
         "q42_sliding_window": q42_sliding_window,
         # ---- rows-only (no SQL oracle possible; see COVERAGE.md) ----
@@ -3765,4 +3856,5 @@ def oracle_sql():
         "q75_pretokenize": SQL_Q75,
         "q76_embedding_neardup_survivors": SQL_Q76,
         "q77_unigram_logprob": SQL_Q77,
+        "q78_top_decile": SQL_Q78,
     }
