@@ -3703,8 +3703,9 @@ def queries():
     SQL-oracle-checked queries, so the window is ROTATED each round:
     queries that have been driver-green for multiple rounds are moved
     past the window to make room for never-driver-graded ones (round
-    5 rotation: q02/q04/q07/q35/q42 out — each driver-green r1–r4 —
-    q67–q71 in).  Rotated-out queries keep their oracles and stay
+    5 rotation: q02/q04/q05/q06/q07/q08/q09/q19/q26/q35/q42 out —
+    each driver-green r1–r4 — q67–q71 + q73–q78 in).  Rotated-out
+    queries keep their oracles and stay
     covered by the local replica gate (tests/test_queries_oracle.py,
     all oracle-checked queries vs DuckDB at sf0.001).  Rows-only
     queries come last — see COVERAGE.md §"rows-only adjudication"
