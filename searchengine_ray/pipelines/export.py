@@ -115,7 +115,11 @@ def span_dedup_etl(in_dir: str, out_dir: str, K: int = 8) -> dict:
     """Phase-2 ETL: GLOBAL substring dedup over a cleaned corpus
     directory (Lee et al. 2021 semantics via
     ``stages.spans.remove_duplicate_spans`` — every duplicated K-gram
-    span cut except the corpus-wide first occurrence).
+    span cut except the corpus-wide first occurrence).  NOTE: the
+    output ``text`` is token-NORMALIZED (lowercased ``[a-z0-9]+``
+    runs, space-joined) for EVERY doc, including ones with no cut —
+    the span stage re-serializes from its tokenizer's stream; treat
+    the phase-2 corpus as training text, not archival text.
 
     Commit semantics differ from phase 1 BY NECESSITY: the transform
     is global (any doc's output depends on every other doc), so there
@@ -133,12 +137,7 @@ def span_dedup_etl(in_dir: str, out_dir: str, K: int = 8) -> dict:
     from ..stages.spans import remove_duplicate_spans
 
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
-        total = sum(
-            pq.ParquetFile(os.path.join(out_dir, p)).metadata.num_rows
-            for p in os.listdir(out_dir)
-            if p.endswith(".parquet")
-        )
-        return {"skipped": True, "rows_total": total}
+        return {"skipped": True, **_span_stats(out_dir)}
     if os.path.exists(out_dir):  # torn publish (no _SUCCESS): redo
         shutil.rmtree(out_dir)
     tmp = out_dir.rstrip("/") + ".tmp"
@@ -161,17 +160,26 @@ def span_dedup_etl(in_dir: str, out_dir: str, K: int = 8) -> dict:
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("")
     os.replace(tmp, out_dir)  # commit point
-    import pyarrow.dataset as pads
+    return {"skipped": False, **_span_stats(out_dir)}
 
-    acc = pads.dataset(
-        [os.path.join(out_dir, p) for p in os.listdir(out_dir)
-         if p.endswith(".parquet")]
-    ).to_table(columns=["cut_tokens", "kept_tokens"])
+
+def _span_stats(out_dir: str) -> dict:
+    """Token accounting of a published span-dedup directory — a
+    streaming Ray aggregate over just the two int columns (never a
+    driver-side materialization of corpus-length arrays)."""
+    import ray
+
+    parts = [
+        os.path.join(out_dir, p)
+        for p in os.listdir(out_dir)
+        if p.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(parts, columns=["cut_tokens", "kept_tokens"])
+    agg = ds.sum(["cut_tokens", "kept_tokens"])
     return {
-        "skipped": False,
-        "rows_total": acc.num_rows,
-        "cut_tokens": int(np.sum(acc["cut_tokens"].to_numpy())),
-        "kept_tokens": int(np.sum(acc["kept_tokens"].to_numpy())),
+        "rows_total": ds.count(),
+        "cut_tokens": int(agg["sum(cut_tokens)"]),
+        "kept_tokens": int(agg["sum(kept_tokens)"]),
     }
 
 

@@ -3361,6 +3361,15 @@ def q74_cosine_simjoin(sf_dir: str):
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
     )
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "cos_sim": pd.Series([], dtype="float64"),
+        }
+    )
+    if tbl.num_rows == 0:
+        return empty
     ids = tbl["vec_id"].to_numpy()
     emb = np.stack(tbl["embedding"].to_pandas().to_numpy()).astype(
         np.float64
@@ -3392,13 +3401,7 @@ def q74_cosine_simjoin(sf_dir: str):
 
     out = ds.map_batches(pairs, batch_format="pandas").to_pandas()
     if out.empty:
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series([], dtype="int64"),
-                "id_b": pd.Series([], dtype="int64"),
-                "cos_sim": pd.Series([], dtype="float64"),
-            }
-        )
+        return empty
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -3455,9 +3458,17 @@ def q76_embedding_neardup_survivors(sf_dir: str):
             n_vecs=("label", "size")
         )
 
-    return _final_combine(
+    out = _final_combine(
         ds.map_batches(keep, batch_format="pandas"), ["label"], ["n_vecs"]
-    ).sort_values("label").reset_index(drop=True)
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "label": pd.Series([], dtype="int64"),
+                "n_vecs": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("label").reset_index(drop=True)
 
 
 SQL_Q76 = """

@@ -288,11 +288,16 @@ def _lsh_candidate_stages(
         # here.  Buckets larger than _LSH_BUCKET_CAP (mass-duplicated
         # content: boilerplate pages, a template repeated 10k times)
         # would make the self-merge quadratic — for those, emit only
-        # star pairs against the bucket's min-id representative.  The
-        # downstream exact-verify + connected-components pass still
-        # links every true duplicate transitively through the hub,
-        # so cluster membership is unchanged; only redundant
-        # intra-cluster edges are dropped.
+        # star pairs against the bucket's min-id representative.
+        # CONTRACT CHANGE over the cap: the candidate DOC set is
+        # unchanged (every member appears in some star pair), but the
+        # candidate PAIR list is not — (x, y) with x,y both non-rep is
+        # no longer emitted.  Consumers that re-verify among candidate
+        # DOCS (q16's exact pass over the doc-id set) are unaffected;
+        # a consumer that verifies candidate PAIRS directly
+        # (minhash_lsh_pairs) can miss an (x, y) pair whose members
+        # both sit below the verify threshold against the rep — see
+        # that function's docstring.
         sizes = g.groupby(["band_id", "band_hash"])[id_col].transform(
             "size"
         )
@@ -394,7 +399,15 @@ def minhash_lsh_pairs(
 ):
     """shingle → minhash → band buckets → candidate pairs → verify
     estimated Jaccard ≥ threshold.  Returns dataset of
-    (id_a, id_b, jaccard_est) with id_a < id_b."""
+    (id_a, id_b, jaccard_est) with id_a < id_b.
+
+    Cap caveat: buckets over ``_LSH_BUCKET_CAP`` emit only star pairs
+    vs their min-id member, so inside a mass-duplicated family this
+    PAIR-verifying path can miss an (x, y) pair whose members both
+    estimate below ``threshold`` against the representative.  For
+    cluster-faithful dedup over such content use the q16 shape
+    instead: ``minhash_lsh_candidates`` (doc set is cap-invariant)
+    + exact verify among candidate docs + connected components."""
     npart = _ncpus()
     empty = pd.DataFrame(
         {

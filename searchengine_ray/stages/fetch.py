@@ -207,6 +207,7 @@ class FetchDecode:
         store = self.store
         out = {k.name: [] for k in CONTENT_SCHEMA}
         pay = {k.name: [] for k in PAYLOAD_SCHEMA}
+        pay_epochs: list[int] = []  # per-row epoch for partition routing
         raw_links: list[str] = []
         link_seq: list[int] = []
         link_pos: list[int] = []
@@ -263,22 +264,35 @@ class FetchDecode:
                 pay["fetch_seq"].append(fseq)
                 pay["image_id"].append(store.image_ids[row])
                 pay["bytes"].append(data.to_pybytes())
+                pay_epochs.append(int(epochs[i]))
             raw_links.extend(links)
             link_seq.extend([fseq] * len(links))
             link_pos.extend(range(len(links)))
         content = pa.table(out, schema=CONTENT_SCHEMA)
-        if self.payload_dir and len(content):
-            d = os.path.join(self.payload_dir, f"epoch={int(epochs[0])}")
-            os.makedirs(d, exist_ok=True)
-            pq.write_table(
-                pa.table(pay, schema=PAYLOAD_SCHEMA),
-                os.path.join(d, f"part-{pay['fetch_seq'][0]:010d}.parquet"),
-                # payload bytes are already codec-compressed — a second
-                # (snappy/dict) pass burns CPU for ~0 gain and was the
-                # dominant cost under a concurrent fetch pool
-                compression="none",
-                use_dictionary=False,
-            )
+        if self.payload_dir and pay["fetch_seq"]:
+            # Route payload rows by their OWN epoch (same invariant as
+            # stages/httpfetch.py): the crawl dispatcher stamps one
+            # epoch per chunk so the loop is a single iteration there,
+            # but a direct caller mixing epochs must not mis-file rows
+            # under a partition a resume would treat as finished.
+            tbl = pa.table(pay, schema=PAYLOAD_SCHEMA)
+            ep = np.asarray(pay_epochs, dtype=np.int64)
+            for e in np.unique(ep):
+                d = os.path.join(self.payload_dir, f"epoch={int(e)}")
+                os.makedirs(d, exist_ok=True)
+                sub = tbl.filter(pa.array(ep == e))
+                pq.write_table(
+                    sub,
+                    os.path.join(
+                        d, f"part-{sub['fetch_seq'][0].as_py():010d}.parquet"
+                    ),
+                    # payload bytes are already codec-compressed — a
+                    # second (snappy/dict) pass burns CPU for ~0 gain
+                    # and was the dominant cost under a concurrent
+                    # fetch pool
+                    compression="none",
+                    use_dictionary=False,
+                )
         cand = make_candidates(raw_links, link_seq, link_pos, self.shard_count)
         self._calls += 1
         self._pages += len(content)

@@ -184,9 +184,13 @@ def remove_duplicate_spans(
     a cut window [pos, pos+K).  Cut windows union into covered token
     ranges per doc (overlap/touching windows coalesce, exactly the
     island rule of ``merge_positions_to_spans``); covered tokens are
-    removed and the survivors re-serialized space-joined (original
-    inter-token whitespace/punct is not preserved — the output is a
-    training-corpus text, not a byte-identical document).  Edge
+    removed and the survivors re-serialized space-joined.  The output
+    is a NORMALIZED training-corpus text, not a byte-identical
+    document: tokens come from the lowercasing ``text._token_dict``
+    kernel (the same normalization the SQL oracle's ``_TOKS`` uses),
+    so casing, inter-token whitespace and punctuation outside
+    ``[a-z0-9]+`` runs are all dropped — even for docs with zero
+    duplicated spans.  Edge
     effect, shared with the reference algorithm: a cut window may
     overlap a canonical window of a DIFFERENT gram, so a canonical
     copy can lose tokens when its doc also holds cut windows nearby.
@@ -298,10 +302,13 @@ def remove_duplicate_spans(
                 doc_of[keep], minlength=nd
             ).astype(np.int64)
             vals = dic.take(pa.array(idx[keep], pa.int64()))
-            lst = pa.ListArray.from_arrays(
+            # int64 offsets + LargeList: a doc-keyed partition can
+            # hold >2^31 kept tokens at corpus scale, which would
+            # overflow int32 ListArray offsets
+            lst = pa.LargeListArray.from_arrays(
                 pa.array(
                     np.concatenate([[0], np.cumsum(kept_per_doc)]),
-                    pa.int32(),
+                    pa.int64(),
                 ),
                 vals,
             )
