@@ -3494,6 +3494,101 @@ GROUP BY label ORDER BY label
 """
 
 
+def q79_event_funnel(sf_dir: str):
+    """Event FUNNEL (telemetry/product-analytics workload): how many
+    'view' events convert to a 'click' by the same user within 30
+    minutes — the FORWARD as-of member of the temporal family (q40 is
+    the backward one).  Shape: one zero-copy Arrow filter/project
+    pass → user-hash partition (both event types of a user co-locate)
+    → per-partition ``pd.merge_asof(direction='forward',
+    allow_exact_matches=False, tolerance=30min)`` — one vectorized
+    call, no per-event Python; each partition emits ONE partial row
+    (views, conversions, distinct converting users — exact because
+    partitions are user-complete), the driver folds npart rows."""
+    import ray  # noqa: F401  (ray.data via _read)
+
+    npart = _ncpus()
+    W_US = 30 * 60 * 1_000_000
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def project(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"], pa.array(["view", "click"]))
+        b = b.filter(m)
+        ts_us = b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        ent = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "ts_us": ts_us,
+                "part": pa.array(ent % npart, pa.int64()),
+            }
+        )
+
+    def funnel_part(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[g["event_type"] == "view"].sort_values("ts_us")
+        c = g[g["event_type"] == "click"].sort_values("ts_us")
+        if len(v) == 0:
+            return pd.DataFrame(
+                {
+                    "n_views": pd.Series([], dtype="int64"),
+                    "n_converted_views": pd.Series([], dtype="int64"),
+                    "n_users_converted": pd.Series([], dtype="int64"),
+                }
+            )
+        m = pd.merge_asof(
+            v[["event_id", "user_id", "ts_us"]],
+            c[["user_id", "ts_us"]].assign(click_ts=c["ts_us"]),
+            on="ts_us",
+            by="user_id",
+            direction="forward",
+            allow_exact_matches=False,
+            tolerance=W_US,
+        )
+        conv = m["click_ts"].notna()
+        return pd.DataFrame(
+            {
+                "n_views": [len(v)],
+                "n_converted_views": [int(conv.sum())],
+                "n_users_converted": [
+                    int(m.loc[conv, "user_id"].nunique())
+                ],
+            }
+        )
+
+    pdf = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(funnel_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_views": [int(pdf["n_views"].sum())],
+            "n_converted_views": [int(pdf["n_converted_views"].sum())],
+            "n_users_converted": [int(pdf["n_users_converted"].sum())],
+        }
+    )
+
+
+SQL_Q79 = """
+WITH v AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+j AS (SELECT v.event_id, v.user_id,
+             EXISTS(SELECT 1 FROM c
+                    WHERE c.user_id = v.user_id AND c.ts > v.ts
+                      AND c.ts <= v.ts + INTERVAL 30 MINUTE) AS conv
+      FROM v)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(COUNT(*) FILTER (WHERE conv) AS BIGINT) AS n_converted_views,
+       CAST(COUNT(DISTINCT user_id) FILTER (WHERE conv) AS BIGINT)
+           AS n_users_converted
+FROM j
+"""
+
+
 def q78_top_decile(sf_dir: str):
     """PERCENT_RANK window family (the rank member missing from the
     window coverage: row_number=q56, running sum=q58/q66, lag
@@ -3714,8 +3809,8 @@ def queries():
     SQL-oracle-checked queries, so the window is ROTATED each round:
     queries that have been driver-green for multiple rounds are moved
     past the window to make room for never-driver-graded ones (round
-    5 rotation: q02/q04/q05/q06/q07/q08/q09/q19/q26/q35/q42 out —
-    each driver-green r1–r4 — q67–q71 + q73–q78 in).  Rotated-out
+    5 rotation: q02/q04/q05/q06/q07/q08/q09/q19/q26/q27/q35/q42 out —
+    each driver-green r1–r4 — q67–q71 + q73–q79 in).  Rotated-out
     queries keep their oracles and stay
     covered by the local replica gate (tests/test_queries_oracle.py,
     all oracle-checked queries vs DuckDB at sf0.001).  Rows-only
@@ -3733,7 +3828,6 @@ def queries():
         "q16_minhash_pairs": q16_minhash_pairs,
         "q18_jaccard_pairs": q18_jaccard_pairs,
         "q22_inverted_index": q22_inverted_index,
-        "q27_best_order_per_customer": q27_best_order_per_customer,
         "q34_region_revenue": q34_region_revenue,
         "q36_supplier_balance": q36_supplier_balance,
         "q37_clean_corpus": q37_clean_corpus,
@@ -3772,6 +3866,7 @@ def queries():
         "q76_embedding_neardup_survivors": q76_embedding_neardup_survivors,
         "q77_unigram_logprob": q77_unigram_logprob,
         "q78_top_decile": q78_top_decile,
+        "q79_event_funnel": q79_event_funnel,
         # ---- oracle-checked but rotated OUT of the driver's 50-slot
         # window (driver-green r1–r4; still run vs DuckDB in the
         # local replica gate every round) ----
@@ -3784,6 +3879,7 @@ def queries():
         "q09_top_users": q09_top_users,
         "q19_sessionize": q19_sessionize,
         "q26_brand_volume": q26_brand_volume,
+        "q27_best_order_per_customer": q27_best_order_per_customer,
         "q35_props_extract": q35_props_extract,
         "q42_sliding_window": q42_sliding_window,
         # ---- rows-only (no SQL oracle possible; see COVERAGE.md) ----
@@ -3869,4 +3965,5 @@ def oracle_sql():
         "q76_embedding_neardup_survivors": SQL_Q76,
         "q77_unigram_logprob": SQL_Q77,
         "q78_top_decile": SQL_Q78,
+        "q79_event_funnel": SQL_Q79,
     }
