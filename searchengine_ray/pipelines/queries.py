@@ -3494,6 +3494,71 @@ GROUP BY label ORDER BY label
 """
 
 
+def q80_group_corr(sf_dir: str):
+    """Grouped statistical aggregate (Pearson CORR per group) via
+    MOMENT PARTIALS — the two-variable member of the moments family
+    (q60 does single-variable z-scores the same way): each batch
+    contributes one (n, Σx, Σy, Σxx, Σyy, Σxy) row per group, the
+    driver folds #groups×#batches tiny rows and finishes
+    corr = (nΣxy−ΣxΣy)/√((nΣxx−Σx²)(nΣyy−Σy²)).  The corpus never
+    shuffles — only 6 doubles per (group, batch) cross the wire.
+    Rounded to 6 decimals so the reduction-order float difference vs
+    DuckDB's streaming corr() vanishes."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_quantity"].to_numpy(np.float64)
+        y = b["l_extendedprice"].to_numpy(np.float64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "n": 1.0,
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        )
+        return df.groupby("l_returnflag", as_index=False).sum()
+
+    pdf = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("l_returnflag", as_index=False)
+        .sum()
+    )
+    n = pdf["n"].to_numpy()
+    sx, sy = pdf["sx"].to_numpy(), pdf["sy"].to_numpy()
+    sxx, syy, sxy = (
+        pdf["sxx"].to_numpy(),
+        pdf["syy"].to_numpy(),
+        pdf["sxy"].to_numpy(),
+    )
+    corr = (n * sxy - sx * sy) / np.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    out = pd.DataFrame(
+        {
+            "l_returnflag": pdf["l_returnflag"],
+            "n_rows": n.astype(np.int64),
+            "corr_qty_price": np.round(corr, 6),
+        }
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_Q80 = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q79_event_funnel(sf_dir: str):
     """Event FUNNEL (telemetry/product-analytics workload): how many
     'view' events convert to a 'click' by the same user within 30
@@ -3809,8 +3874,9 @@ def queries():
     SQL-oracle-checked queries, so the window is ROTATED each round:
     queries that have been driver-green for multiple rounds are moved
     past the window to make room for never-driver-graded ones (round
-    5 rotation: q02/q04/q05/q06/q07/q08/q09/q19/q26/q27/q35/q42 out —
-    each driver-green r1–r4 — q67–q71 + q73–q79 in).  Rotated-out
+    5 rotation: q02/q04/q05/q06/q07/q08/q09/q19/q26/q27/q34/q35/q42
+    out — each driver-green r1–r4 — q67–q71 + q73–q80 in).
+    Rotated-out
     queries keep their oracles and stay
     covered by the local replica gate (tests/test_queries_oracle.py,
     all oracle-checked queries vs DuckDB at sf0.001).  Rows-only
@@ -3828,7 +3894,6 @@ def queries():
         "q16_minhash_pairs": q16_minhash_pairs,
         "q18_jaccard_pairs": q18_jaccard_pairs,
         "q22_inverted_index": q22_inverted_index,
-        "q34_region_revenue": q34_region_revenue,
         "q36_supplier_balance": q36_supplier_balance,
         "q37_clean_corpus": q37_clean_corpus,
         "q38_dedup_survivors": q38_dedup_survivors,
@@ -3867,6 +3932,7 @@ def queries():
         "q77_unigram_logprob": q77_unigram_logprob,
         "q78_top_decile": q78_top_decile,
         "q79_event_funnel": q79_event_funnel,
+        "q80_group_corr": q80_group_corr,
         # ---- oracle-checked but rotated OUT of the driver's 50-slot
         # window (driver-green r1–r4; still run vs DuckDB in the
         # local replica gate every round) ----
@@ -3880,6 +3946,7 @@ def queries():
         "q19_sessionize": q19_sessionize,
         "q26_brand_volume": q26_brand_volume,
         "q27_best_order_per_customer": q27_best_order_per_customer,
+        "q34_region_revenue": q34_region_revenue,
         "q35_props_extract": q35_props_extract,
         "q42_sliding_window": q42_sliding_window,
         # ---- rows-only (no SQL oracle possible; see COVERAGE.md) ----
@@ -3966,4 +4033,5 @@ def oracle_sql():
         "q77_unigram_logprob": SQL_Q77,
         "q78_top_decile": SQL_Q78,
         "q79_event_funnel": SQL_Q79,
+        "q80_group_corr": SQL_Q80,
     }
