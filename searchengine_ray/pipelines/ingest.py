@@ -1,5 +1,6 @@
-"""External-source ingest: CSV / JSONL / parquet files → the canonical
-``documents`` table shape, resumable per input file.
+"""External-source ingest: CSV / JSONL / parquet / WARC files (plus
+gzip variants) → the canonical ``documents`` table shape, resumable
+per input file.
 
 The reference engine only ever reads its own KV store; a user moving a
 pipeline onto this engine needs a way to LAND external corpora first.
@@ -42,20 +43,132 @@ DOC_SCHEMA = pa.schema(
 )
 
 
+_INGEST_EXTS = (
+    ".csv", ".tsv", ".json", ".jsonl", ".ndjson", ".parquet", ".pq",
+    ".csv.gz", ".tsv.gz", ".json.gz", ".jsonl.gz", ".ndjson.gz",
+    ".warc", ".warc.gz",
+)
+
+
+def _ingest_ext(path: str) -> str:
+    """Extension including a trailing .gz (``os.path.splitext`` alone
+    would report just ``.gz`` for ``corpus.jsonl.gz``)."""
+    low = path.lower()
+    for e in sorted(_INGEST_EXTS, key=len, reverse=True):
+        if low.endswith(e):
+            return e
+    return os.path.splitext(low)[1]
+
+
 def _read_any(path: str) -> pa.Table:
-    ext = os.path.splitext(path)[1].lower()
-    if ext in (".csv", ".tsv"):
+    ext = _ingest_ext(path)
+    base = ext[:-3] if ext.endswith(".gz") else ext
+    if base == ".warc":
+        return read_warc(path)
+    if base in (".csv", ".tsv"):
         import pyarrow.csv as pc_csv
 
-        opts = pc_csv.ParseOptions(delimiter="\t" if ext == ".tsv" else ",")
-        return pc_csv.read_csv(path, parse_options=opts)
-    if ext in (".json", ".jsonl", ".ndjson"):
+        opts = pc_csv.ParseOptions(delimiter="\t" if base == ".tsv" else ",")
+        # pa.input_stream decompresses gzip natively (compression
+        # detected from the file name), so .csv.gz streams without a
+        # temp file
+        with pa.input_stream(path, compression="detect") as f:
+            return pc_csv.read_csv(f, parse_options=opts)
+    if base in (".json", ".jsonl", ".ndjson"):
         import pyarrow.json as pc_json
 
-        return pc_json.read_json(path)
-    if ext in (".parquet", ".pq"):
+        with pa.input_stream(path, compression="detect") as f:
+            return pc_json.read_json(f)
+    if base in (".parquet", ".pq"):
         return pq.read_table(path)
     raise ValueError(f"unsupported ingest format: {path}")
+
+
+_TAG_RE = None  # compiled lazily (module import stays light)
+
+
+def _html_to_text(html: str) -> str:
+    """Crude but deterministic HTML → text: drop comments/script/style
+    (``stages.extract.shorten_html``), strip tags, unescape the common
+    entities, collapse whitespace.  Good enough for a training-corpus
+    on-ramp; NOT a layout-aware extractor."""
+    import html as html_mod
+    import re
+
+    from ..stages.extract import shorten_html
+
+    global _TAG_RE
+    if _TAG_RE is None:
+        _TAG_RE = re.compile(r"<[^>]*>")
+    txt = _TAG_RE.sub(" ", shorten_html(html))
+    return " ".join(html_mod.unescape(txt).split())
+
+
+def read_warc(path: str) -> pa.Table:
+    """Minimal WARC (ISO 28500) reader — the Common Crawl shape: parse
+    ``WARC-Type: response`` records, peel the HTTP head off the block,
+    keep ``text/html`` bodies, and emit (url, source=host, text) rows
+    with text from the tag-stripping extractor above.
+
+    Stdlib-only by design (no warcio in the runtime): records are
+    ``headers CRLF CRLF block`` with the block length in
+    ``Content-Length``; ``.warc.gz`` files are multi-member gzip
+    streams, which ``gzip.open`` reads transparently.  One file is one
+    ingest commit unit, same as every other format here."""
+    import gzip
+
+    from ..functions.urlkernel import split_host
+
+    opener = gzip.open if path.lower().endswith(".gz") else open
+    with opener(path, "rb") as f:
+        data = f.read()
+    urls, sources, texts = [], [], []
+    i, n = 0, len(data)
+    while i < n:
+        head_end = data.find(b"\r\n\r\n", i)
+        if head_end < 0:
+            break
+        head = data[i:head_end].decode("utf-8", errors="replace")
+        if not head.startswith("WARC/"):
+            break  # malformed record boundary — stop, keep prior rows
+        fields = {}
+        for line in head.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields.get("content-length", "0"))
+        except ValueError:
+            clen = 0
+        block = data[head_end + 4 : head_end + 4 + clen]
+        i = head_end + 4 + clen
+        # skip the record separator (two CRLFs), tolerating absence
+        while data[i : i + 2] == b"\r\n":
+            i += 2
+        if fields.get("warc-type") != "response":
+            continue
+        url = fields.get("warc-target-uri", "")
+        http_end = block.find(b"\r\n\r\n")
+        if http_end < 0:
+            continue
+        http_head = block[:http_end].decode("utf-8", errors="replace")
+        ctype = ""
+        for line in http_head.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            if k.strip().lower() == "content-type":
+                ctype = v.split(";")[0].strip().lower()
+        if ctype not in ("text/html", "application/xhtml+xml"):
+            continue
+        body = block[http_end + 4 :].decode("utf-8", errors="replace")
+        urls.append(url)
+        sources.append(split_host(url))
+        texts.append(_html_to_text(body))
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
 
 
 def normalize_documents(tbl: pa.Table, file_name: str) -> pa.Table:
@@ -109,8 +222,7 @@ def ingest_documents(inputs: list[str] | str, out_dir: str) -> dict:
         inputs = sorted(
             os.path.join(inputs, f)
             for f in os.listdir(inputs)
-            if os.path.splitext(f)[1].lower()
-            in (".csv", ".tsv", ".json", ".jsonl", ".ndjson", ".parquet", ".pq")
+            if _ingest_ext(f) in _INGEST_EXTS
         )
     os.makedirs(out_dir, exist_ok=True)
     for p in os.listdir(out_dir):

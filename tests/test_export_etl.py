@@ -241,3 +241,72 @@ def test_span_dedup_etl_phase2(ray_session, multi_frag_input, tmp_path):
     r3 = span_dedup_etl(clean_dir, out)
     assert r3["skipped"] is False
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def _mk_warc_record(url: str, html: str, wtype: str = "response") -> bytes:
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"\r\n" + html.encode()
+    )
+    head = (
+        f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"Content-Length: {len(http)}\r\n"
+    ).encode()
+    return head + b"\r\n" + http + b"\r\n\r\n"
+
+
+def test_warc_and_gzip_ingest(ray_session, tmp_path):
+    """WARC (plain + .gz multi-member) and .jsonl.gz land as canonical
+    documents parts; non-response and non-HTML records are skipped;
+    HTML is tag-stripped with script/style dropped."""
+    import gzip
+    import json as json_mod
+
+    import pandas as pd
+
+    from searchengine_ray.pipelines.ingest import ingest_documents, read_warc
+
+    d = tmp_path / "in"
+    d.mkdir()
+    recs = [
+        _mk_warc_record(
+            "http://a.example.org/p1",
+            "<html><head><title>T1</title><script>no()</script></head>"
+            "<body><p>Hello &amp; welcome</p></body></html>",
+        ),
+        _mk_warc_record("http://a.example.org/meta", "x", wtype="request"),
+        _mk_warc_record(
+            "http://b.example.org/p2",
+            "<html><body>Second <b>page</b></body></html>",
+        ),
+    ]
+    (d / "crawl.warc").write_bytes(b"".join(recs))
+    # .warc.gz: per-record gzip members, the Common Crawl layout
+    gz = b"".join(gzip.compress(r) for r in recs)
+    (d / "crawl2.warc.gz").write_bytes(gz)
+    with gzip.open(d / "docs.jsonl.gz", "wt") as f:
+        for i in range(3):
+            f.write(json_mod.dumps({"text": f"json doc {i}"}) + "\n")
+
+    t = read_warc(str(d / "crawl.warc"))
+    assert t.num_rows == 2  # request record skipped
+    texts = t["text"].to_pylist()
+    assert "Hello & welcome" in texts[0] and "no()" not in texts[0]
+    assert "T1" in texts[0]  # title text survives the tag strip
+    assert texts[1] == "Second page"
+    assert t["source"].to_pylist() == ["a.example.org", "b.example.org"]
+
+    out = str(tmp_path / "docs")
+    r = ingest_documents(str(d), out)
+    assert r["files"] == 3 and r["rows_total"] == 2 + 2 + 3
+    parts = [
+        os.path.join(out, p) for p in sorted(os.listdir(out))
+        if p.endswith(".parquet")
+    ]
+    got = pd.concat([pq.read_table(p).to_pandas() for p in parts])
+    assert set(got.columns) == {"doc_id", "source", "text"}
+    assert got["doc_id"].is_unique
+    # resume skips everything
+    r2 = ingest_documents(str(d), out)
+    assert r2["skipped"] == 3 and r2["rows_written"] == 0
