@@ -3494,6 +3494,46 @@ GROUP BY label ORDER BY label
 """
 
 
+def q81_freq_spectrum(sf_dir: str):
+    """Word-frequency SPECTRUM (count-of-counts — the Zipf diagnostic
+    behind Good-Turing smoothing and vocabulary-size estimates; q39
+    is the DOC-length histogram, this is the WORD-frequency one):
+    how many distinct words occur exactly c times, for each c.
+
+    Shape: q12's combiner partials → `_part_groupby` word totals
+    (vocabulary stays distributed, each partition key-complete) →
+    per-partition count-of-counts partials → driver folds a
+    spectrum-sized (≈ hundreds of rows) final.  The vocabulary never
+    lands on the driver."""
+    ds = _read(sf_dir, "documents", ["text"])
+    word_counts = _part_groupby(
+        ds.map_batches(tx.word_count_partial, batch_format="pandas"),
+        ["word"],
+        {"cnt": "sum"},
+    )
+
+    def spectrum_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("cnt", as_index=False).agg(n_words=("cnt", "size"))
+        return out.rename(columns={"cnt": "freq"})
+
+    out = _final_combine(
+        word_counts.map_batches(spectrum_partial, batch_format="pandas"),
+        ["freq"],
+        ["n_words"],
+    )
+    out["freq"] = out["freq"].astype("int64")
+    return out.sort_values("freq").reset_index(drop=True)
+
+
+SQL_Q81 = """
+WITH w AS (SELECT word, COUNT(*) AS c FROM
+             (SELECT unnest({_TOKS}) AS word FROM documents)
+           GROUP BY word)
+SELECT CAST(c AS BIGINT) AS freq, CAST(COUNT(*) AS BIGINT) AS n_words
+FROM w GROUP BY c ORDER BY freq
+""".replace("{_TOKS}", _TOKS)
+
+
 def q80_group_corr(sf_dir: str):
     """Grouped statistical aggregate (Pearson CORR per group) via
     MOMENT PARTIALS — the two-variable member of the moments family
@@ -3874,8 +3914,8 @@ def queries():
     SQL-oracle-checked queries, so the window is ROTATED each round:
     queries that have been driver-green for multiple rounds are moved
     past the window to make room for never-driver-graded ones (round
-    5 rotation: q02/q04/q05/q06/q07/q08/q09/q19/q26/q27/q34/q35/q42
-    out — each driver-green r1–r4 — q67–q71 + q73–q80 in).
+    5 rotation: q02/q04/q05/q06/q07/q08/q09/q19/q26/q27/q34/q35/q39/
+    q42 out — each driver-green r1–r4 — q67–q71 + q73–q81 in).
     Rotated-out
     queries keep their oracles and stay
     covered by the local replica gate (tests/test_queries_oracle.py,
@@ -3897,7 +3937,6 @@ def queries():
         "q36_supplier_balance": q36_supplier_balance,
         "q37_clean_corpus": q37_clean_corpus,
         "q38_dedup_survivors": q38_dedup_survivors,
-        "q39_token_histogram": q39_token_histogram,
         "q40_asof_join": q40_asof_join,
         "q41_value_percentiles": q41_value_percentiles,
         "q44_range_join": q44_range_join,
@@ -3933,6 +3972,7 @@ def queries():
         "q78_top_decile": q78_top_decile,
         "q79_event_funnel": q79_event_funnel,
         "q80_group_corr": q80_group_corr,
+        "q81_freq_spectrum": q81_freq_spectrum,
         # ---- oracle-checked but rotated OUT of the driver's 50-slot
         # window (driver-green r1–r4; still run vs DuckDB in the
         # local replica gate every round) ----
@@ -3948,6 +3988,7 @@ def queries():
         "q27_best_order_per_customer": q27_best_order_per_customer,
         "q34_region_revenue": q34_region_revenue,
         "q35_props_extract": q35_props_extract,
+        "q39_token_histogram": q39_token_histogram,
         "q42_sliding_window": q42_sliding_window,
         # ---- rows-only (no SQL oracle possible; see COVERAGE.md) ----
         "q17_simhash": q17_simhash,
@@ -4034,4 +4075,5 @@ def oracle_sql():
         "q78_top_decile": SQL_Q78,
         "q79_event_funnel": SQL_Q79,
         "q80_group_corr": SQL_Q80,
+        "q81_freq_spectrum": SQL_Q81,
     }
