@@ -3494,6 +3494,116 @@ GROUP BY label ORDER BY label
 """
 
 
+def q82_source_overlap(sf_dir: str):
+    """Cross-source vocabulary overlap: pairwise Jaccard between the
+    DISTINCT-token sets of every source pair — set similarity at the
+    GROUP level (q18 does it at the doc level), the corpus-mixture
+    diagnostic ("how much does source A's vocabulary overlap B's?").
+
+    Shape: per-batch distinct (source, word-hash) partials →
+    word-hash-keyed shuffle (each partition word-complete) → one
+    vectorized self-merge per partition emits source-pair
+    co-occurrence counts (≤ |sources| rows per word) plus per-source
+    distinct-count partials; the driver folds |sources|² pair rows
+    and finishes Jaccard.  Words travel as 8-byte hashes (the q18
+    collision trade, ~2⁻⁶⁴/pair); the vocabulary itself never lands
+    anywhere whole."""
+    from ..functions.hashing import fnv1a64_batch
+
+    npart = _ncpus()
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        counts, idx, dic = tx._token_dict(texts)
+        if dic is None:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "wh": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        srcs = pd.Series(b["source"].to_pylist())
+        codes, uniq_src = pd.factorize(srcs)
+        off = np.concatenate([[0], np.cumsum(counts)])
+        doc_of = np.searchsorted(off, np.arange(len(idx)), side="right") - 1
+        wh = fnv1a64_batch(dic)
+        pair = codes[doc_of].astype(np.uint64) * np.uint64(
+            len(dic)
+        ) + idx.astype(np.uint64)
+        keep = np.zeros(len(pair), bool)
+        keep[np.unique(pair, return_index=True)[1]] = True
+        s_out = uniq_src[codes[doc_of][keep]]
+        w_out = wh[idx[keep]].view(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(s_out, pa.string()),
+                "wh": pa.array(w_out, pa.int64()),
+                "part": pa.array(
+                    (w_out.view(np.uint64) % np.uint64(npart)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["source", "wh"]].drop_duplicates()
+        sizes = d.groupby("source", as_index=False).agg(n=("wh", "size"))
+        pr = d.merge(d, on="wh", suffixes=("_a", "_b"))
+        pr = pr[pr["source_a"] < pr["source_b"]]
+        inter = pr.groupby(
+            ["source_a", "source_b"], as_index=False
+        ).agg(inter=("wh", "size"))
+        # union the two partial kinds into one frame (kind column)
+        sizes = sizes.rename(columns={"source": "source_a", "n": "inter"})
+        sizes["source_b"] = ""
+        return pd.concat(
+            [inter, sizes[["source_a", "source_b", "inter"]]],
+            ignore_index=True,
+        )
+
+    pdf = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    pdf = pdf.groupby(["source_a", "source_b"], as_index=False)["inter"].sum()
+    sizes = (
+        pdf[pdf["source_b"] == ""]
+        .set_index("source_a")["inter"]
+        .astype(np.int64)
+    )
+    pairs = pdf[pdf["source_b"] != ""].copy()
+    na = sizes[pairs["source_a"]].to_numpy(np.float64)
+    nb = sizes[pairs["source_b"]].to_numpy(np.float64)
+    inter = pairs["inter"].to_numpy(np.float64)
+    pairs["jaccard"] = np.round(inter / (na + nb - inter), 6)
+    pairs["inter"] = pairs["inter"].astype("int64")
+    return (
+        pairs[["source_a", "source_b", "inter", "jaccard"]]
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_Q82 = """
+WITH sw AS (SELECT DISTINCT source, unnest({_TOKS}) AS w FROM documents),
+sz AS (SELECT source, COUNT(*) AS n FROM sw GROUP BY source),
+p AS (SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT p.source_a, p.source_b, p.inter,
+       ROUND(p.inter * 1.0 / (x.n + y.n - p.inter), 6) AS jaccard
+FROM p JOIN sz x ON x.source = p.source_a
+       JOIN sz y ON y.source = p.source_b
+ORDER BY source_a, source_b
+""".replace("{_TOKS}", _TOKS)
+
+
 def q81_freq_spectrum(sf_dir: str):
     """Word-frequency SPECTRUM (count-of-counts — the Zipf diagnostic
     behind Good-Turing smoothing and vocabulary-size estimates; q39
@@ -3914,8 +4024,8 @@ def queries():
     SQL-oracle-checked queries, so the window is ROTATED each round:
     queries that have been driver-green for multiple rounds are moved
     past the window to make room for never-driver-graded ones (round
-    5 rotation: q02/q04/q05/q06/q07/q08/q09/q19/q26/q27/q34/q35/q39/
-    q42 out — each driver-green r1–r4 — q67–q71 + q73–q81 in).
+    5 rotation: q02/q04/q05/q06/q07/q08/q09/q19/q26/q27/q34/q35/q38/
+    q39/q42 out — each driver-green r1–r4 — q67–q71 + q73–q82 in).
     Rotated-out
     queries keep their oracles and stay
     covered by the local replica gate (tests/test_queries_oracle.py,
@@ -3936,7 +4046,6 @@ def queries():
         "q22_inverted_index": q22_inverted_index,
         "q36_supplier_balance": q36_supplier_balance,
         "q37_clean_corpus": q37_clean_corpus,
-        "q38_dedup_survivors": q38_dedup_survivors,
         "q40_asof_join": q40_asof_join,
         "q41_value_percentiles": q41_value_percentiles,
         "q44_range_join": q44_range_join,
@@ -3973,6 +4082,7 @@ def queries():
         "q79_event_funnel": q79_event_funnel,
         "q80_group_corr": q80_group_corr,
         "q81_freq_spectrum": q81_freq_spectrum,
+        "q82_source_overlap": q82_source_overlap,
         # ---- oracle-checked but rotated OUT of the driver's 50-slot
         # window (driver-green r1–r4; still run vs DuckDB in the
         # local replica gate every round) ----
@@ -3988,6 +4098,7 @@ def queries():
         "q27_best_order_per_customer": q27_best_order_per_customer,
         "q34_region_revenue": q34_region_revenue,
         "q35_props_extract": q35_props_extract,
+        "q38_dedup_survivors": q38_dedup_survivors,
         "q39_token_histogram": q39_token_histogram,
         "q42_sliding_window": q42_sliding_window,
         # ---- rows-only (no SQL oracle possible; see COVERAGE.md) ----
@@ -4076,4 +4187,5 @@ def oracle_sql():
         "q79_event_funnel": SQL_Q79,
         "q80_group_corr": SQL_Q80,
         "q81_freq_spectrum": SQL_Q81,
+        "q82_source_overlap": SQL_Q82,
     }
