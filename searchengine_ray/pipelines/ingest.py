@@ -119,49 +119,63 @@ def read_warc(path: str) -> pa.Table:
 
     from ..functions.urlkernel import split_host
 
+    def _read_head(f):
+        """Header lines of the next record (CRLF lines up to the blank
+        line), skipping inter-record blank lines; None at EOF."""
+        first = f.readline()
+        while first in (b"\r\n", b"\n"):
+            first = f.readline()
+        if not first:
+            return None
+        lines = [first]
+        while True:
+            ln = f.readline()
+            if not ln or ln in (b"\r\n", b"\n"):
+                break
+            lines.append(ln)
+        return b"".join(lines)
+
+    # STREAMING record walk — one Content-Length-bounded block resident
+    # at a time, never the whole (multi-GB decompressed) archive;
+    # gzip.open reads .warc.gz's concatenated per-record members
+    # transparently
     opener = gzip.open if path.lower().endswith(".gz") else open
-    with opener(path, "rb") as f:
-        data = f.read()
     urls, sources, texts = [], [], []
-    i, n = 0, len(data)
-    while i < n:
-        head_end = data.find(b"\r\n\r\n", i)
-        if head_end < 0:
-            break
-        head = data[i:head_end].decode("utf-8", errors="replace")
-        if not head.startswith("WARC/"):
-            break  # malformed record boundary — stop, keep prior rows
-        fields = {}
-        for line in head.split("\r\n")[1:]:
-            k, _, v = line.partition(":")
-            fields[k.strip().lower()] = v.strip()
-        try:
-            clen = int(fields.get("content-length", "0"))
-        except ValueError:
-            clen = 0
-        block = data[head_end + 4 : head_end + 4 + clen]
-        i = head_end + 4 + clen
-        # skip the record separator (two CRLFs), tolerating absence
-        while data[i : i + 2] == b"\r\n":
-            i += 2
-        if fields.get("warc-type") != "response":
-            continue
-        url = fields.get("warc-target-uri", "")
-        http_end = block.find(b"\r\n\r\n")
-        if http_end < 0:
-            continue
-        http_head = block[:http_end].decode("utf-8", errors="replace")
-        ctype = ""
-        for line in http_head.split("\r\n")[1:]:
-            k, _, v = line.partition(":")
-            if k.strip().lower() == "content-type":
-                ctype = v.split(";")[0].strip().lower()
-        if ctype not in ("text/html", "application/xhtml+xml"):
-            continue
-        body = block[http_end + 4 :].decode("utf-8", errors="replace")
-        urls.append(url)
-        sources.append(split_host(url))
-        texts.append(_html_to_text(body))
+    with opener(path, "rb") as f:
+        while True:
+            head_b = _read_head(f)
+            if head_b is None:
+                break
+            head = head_b.decode("utf-8", errors="replace")
+            if not head.startswith("WARC/"):
+                break  # malformed record boundary — stop, keep prior rows
+            fields = {}
+            for line in head.split("\r\n")[1:]:
+                k, _, v = line.partition(":")
+                fields[k.strip().lower()] = v.strip()
+            try:
+                clen = int(fields.get("content-length", "0"))
+            except ValueError:
+                clen = 0
+            block = f.read(clen)
+            if fields.get("warc-type") != "response":
+                continue
+            url = fields.get("warc-target-uri", "")
+            http_end = block.find(b"\r\n\r\n")
+            if http_end < 0:
+                continue
+            http_head = block[:http_end].decode("utf-8", errors="replace")
+            ctype = ""
+            for line in http_head.split("\r\n")[1:]:
+                k, _, v = line.partition(":")
+                if k.strip().lower() == "content-type":
+                    ctype = v.split(";")[0].strip().lower()
+            if ctype not in ("text/html", "application/xhtml+xml"):
+                continue
+            body = block[http_end + 4 :].decode("utf-8", errors="replace")
+            urls.append(url)
+            sources.append(split_host(url))
+            texts.append(_html_to_text(body))
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),

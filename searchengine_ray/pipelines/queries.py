@@ -3570,6 +3570,15 @@ def q82_source_overlap(sf_dir: str):
         .map_groups(pair_partial, batch_format="pandas")
         .to_pandas()
     )
+    if pdf.empty or "source_a" not in pdf.columns:
+        return pd.DataFrame(
+            {
+                "source_a": pd.Series([], dtype=object),
+                "source_b": pd.Series([], dtype=object),
+                "inter": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
     pdf = pdf.groupby(["source_a", "source_b"], as_index=False)["inter"].sum()
     sizes = (
         pdf[pdf["source_b"] == ""]
@@ -3778,6 +3787,16 @@ def q79_event_funnel(sf_dir: str):
         .map_groups(funnel_part, batch_format="pandas")
         .to_pandas()
     )
+    if pdf.empty or "n_views" not in pdf.columns:
+        # no view/click rows at all — the SQL oracle's COUNT over an
+        # empty set still yields one (0, 0, 0) row
+        return pd.DataFrame(
+            {
+                "n_views": [0],
+                "n_converted_views": [0],
+                "n_users_converted": [0],
+            }
+        )
     return pd.DataFrame(
         {
             "n_views": [int(pdf["n_views"].sum())],
@@ -3850,8 +3869,7 @@ def q78_top_decile(sf_dir: str):
     }
     ref = ray.put(tables)
 
-    def roll(b: pd.DataFrame) -> pd.DataFrame:
-        t = ray.get(ref)
+    def roll(b: pd.DataFrame, t) -> pd.DataFrame:
         rows = []
         for rf, g in b.groupby("l_returnflag"):
             vals, lt, n = t[rf]
@@ -3875,7 +3893,7 @@ def q78_top_decile(sf_dir: str):
         return pd.DataFrame(rows)
 
     out = _final_combine(
-        ds.map_batches(roll, batch_format="pandas"),
+        ds.map_batches(_broadcast_fn(ref, roll), batch_format="pandas"),
         ["l_returnflag"],
         ["n_top_decile", "n_rows"],
     )

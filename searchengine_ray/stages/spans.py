@@ -301,7 +301,12 @@ def remove_duplicate_spans(
             kept_per_doc = np.bincount(
                 doc_of[keep], minlength=nd
             ).astype(np.int64)
-            vals = dic.take(pa.array(idx[keep], pa.int64()))
+            # large_string values: the gathered token stream (unlike
+            # the small Zipfian dictionary) can exceed 2 GiB per
+            # partition — 32-bit value offsets would overflow in take
+            vals = dic.cast(pa.large_string()).take(
+                pa.array(idx[keep], pa.int64())
+            )
             # int64 offsets + LargeList: a doc-keyed partition can
             # hold >2^31 kept tokens at corpus scale, which would
             # overflow int32 ListArray offsets
@@ -312,7 +317,9 @@ def remove_duplicate_spans(
                 ),
                 vals,
             )
-            clean = pc.binary_join(lst, " ").to_pylist()
+            clean = pc.binary_join(
+                lst, pa.scalar(" ", pa.large_string())
+            ).to_pylist()
         else:
             cutc = np.zeros(nd, np.int64)
             clean = [""] * nd

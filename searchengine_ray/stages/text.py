@@ -82,7 +82,15 @@ def _token_dict(texts) -> tuple[np.ndarray, np.ndarray, pa.Array | None]:
     flat = [w for ts in tok_lists for w in ts]
     if not flat:
         return counts, np.zeros(0, np.int64), None
-    denc = pa.array(flat, type=pa.string()).dictionary_encode()
+    try:
+        denc = pa.array(flat, type=pa.string()).dictionary_encode()
+    except pa.lib.ArrowCapacityError:
+        # >2 GiB of token text in one call (a whole doc-keyed
+        # partition rather than a block-sized batch): 32-bit string
+        # offsets overflow — retry with 64-bit offsets.  Partition
+        # sizing (npart scales with the cluster) is the primary
+        # guard; this keeps the kernel correct past it.
+        denc = pa.array(flat, type=pa.large_string()).dictionary_encode()
     return counts, denc.indices.to_numpy().astype(np.int64), denc.dictionary
 
 
