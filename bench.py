@@ -69,6 +69,8 @@ QUERY_NAMES = [
     "q70_repetition_stats",
     "q73_span_removal",
     "q77_unigram_logprob",
+    "q79_event_funnel",
+    "q82_source_overlap",
 ]
 
 
