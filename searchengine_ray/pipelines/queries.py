@@ -3494,6 +3494,103 @@ GROUP BY label ORDER BY label
 """
 
 
+def q83_interarrival(sf_dir: str):
+    """Inter-arrival gap statistics (the LAG-diff window member:
+    sessionize q19 thresholds gaps, this AGGREGATES them): per event
+    type, the count / total / max of gaps between a user's
+    consecutive events of that type.  All-integer partials
+    (microsecond gaps as int64) so the fold is exact; the mean is one
+    final division.
+
+    Shape: user-hash partition (a user's events co-locate) → one
+    vectorized sort + diff per partition with (user, type) run
+    boundaries masked → per-type integer partials → driver folds
+    #types rows."""
+    npart = _ncpus()
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def project(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        ent = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "ts_us": ts_us,
+                "part": pa.array(ent % npart, pa.int64()),
+            }
+        )
+
+    def gaps_part(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.sort_values(["user_id", "event_type", "ts_us"])
+        u = o["user_id"].to_numpy(np.int64)
+        et = o["event_type"].to_numpy()
+        ts = o["ts_us"].to_numpy(np.int64)
+        same = np.zeros(len(o), bool)
+        if len(o) > 1:
+            same[1:] = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+        gap = np.diff(ts, prepend=ts[0] if len(ts) else 0)
+        df = pd.DataFrame({"event_type": et[same], "gap": gap[same]})
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "n_gaps": pd.Series([], dtype="int64"),
+                    "sum_gap_us": pd.Series([], dtype="int64"),
+                    "max_gap_us": pd.Series([], dtype="int64"),
+                }
+            )
+        return df.groupby("event_type", as_index=False).agg(
+            n_gaps=("gap", "size"),
+            sum_gap_us=("gap", "sum"),
+            max_gap_us=("gap", "max"),
+        )
+
+    pdf = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gaps_part, batch_format="pandas")
+        .to_pandas()
+    )
+    if pdf.empty or "event_type" not in pdf.columns:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=object),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "sum_gap_us": pd.Series([], dtype="int64"),
+                "max_gap_us": pd.Series([], dtype="int64"),
+                "mean_gap_us": pd.Series([], dtype="float64"),
+            }
+        )
+    out = pdf.groupby("event_type", as_index=False).agg(
+        n_gaps=("n_gaps", "sum"),
+        sum_gap_us=("sum_gap_us", "sum"),
+        max_gap_us=("max_gap_us", "max"),
+    )
+    out["mean_gap_us"] = np.round(
+        out["sum_gap_us"].to_numpy(np.float64)
+        / out["n_gaps"].to_numpy(np.float64),
+        6,
+    )
+    for c in ("n_gaps", "sum_gap_us", "max_gap_us"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_Q83 = """
+WITH g AS (SELECT event_type,
+                  CAST(epoch_us(ts) - epoch_us(lag(ts) OVER
+                       (PARTITION BY user_id, event_type ORDER BY ts))
+                       AS BIGINT) AS gap
+           FROM events)
+SELECT event_type, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+       ROUND(SUM(gap) * 1.0 / COUNT(gap), 6) AS mean_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q82_source_overlap(sf_dir: str):
     """Cross-source vocabulary overlap: pairwise Jaccard between the
     DISTINCT-token sets of every source pair — set similarity at the
@@ -4042,9 +4139,9 @@ def queries():
     SQL-oracle-checked queries, so the window is ROTATED each round:
     queries that have been driver-green for multiple rounds are moved
     past the window to make room for never-driver-graded ones (round
-    5 rotation: q02/q04/q05/q06/q07/q08/q09/q19/q26/q27/q34/q35/q38/
-    q39/q42 out — each driver-green r1–r4 — q67–q71 + q73–q82 in).
-    Rotated-out
+    5 rotation: q02/q04/q05/q06/q07/q08/q09/q19/q26/q27/q34/q35/q36/
+    q38/q39/q42 out — each driver-green r1–r4 — q67–q71 + q73–q83
+    in).  Rotated-out
     queries keep their oracles and stay
     covered by the local replica gate (tests/test_queries_oracle.py,
     all oracle-checked queries vs DuckDB at sf0.001).  Rows-only
@@ -4062,7 +4159,6 @@ def queries():
         "q16_minhash_pairs": q16_minhash_pairs,
         "q18_jaccard_pairs": q18_jaccard_pairs,
         "q22_inverted_index": q22_inverted_index,
-        "q36_supplier_balance": q36_supplier_balance,
         "q37_clean_corpus": q37_clean_corpus,
         "q40_asof_join": q40_asof_join,
         "q41_value_percentiles": q41_value_percentiles,
@@ -4101,6 +4197,7 @@ def queries():
         "q80_group_corr": q80_group_corr,
         "q81_freq_spectrum": q81_freq_spectrum,
         "q82_source_overlap": q82_source_overlap,
+        "q83_interarrival": q83_interarrival,
         # ---- oracle-checked but rotated OUT of the driver's 50-slot
         # window (driver-green r1–r4; still run vs DuckDB in the
         # local replica gate every round) ----
@@ -4116,6 +4213,7 @@ def queries():
         "q27_best_order_per_customer": q27_best_order_per_customer,
         "q34_region_revenue": q34_region_revenue,
         "q35_props_extract": q35_props_extract,
+        "q36_supplier_balance": q36_supplier_balance,
         "q38_dedup_survivors": q38_dedup_survivors,
         "q39_token_histogram": q39_token_histogram,
         "q42_sliding_window": q42_sliding_window,
@@ -4206,4 +4304,5 @@ def oracle_sql():
         "q80_group_corr": SQL_Q80,
         "q81_freq_spectrum": SQL_Q81,
         "q82_source_overlap": SQL_Q82,
+        "q83_interarrival": SQL_Q83,
     }
