@@ -3494,6 +3494,64 @@ GROUP BY label ORDER BY label
 """
 
 
+def q84_group_regression(sf_dir: str):
+    """Grouped least-squares regression (slope + intercept of
+    l_extendedprice on l_quantity per return flag) — the regression
+    member of the moments family (q80 = correlation, q60 = z-score),
+    same zero-shuffle shape: per-(group, batch) moment partials, the
+    driver folds a handful of rows and applies the closed form
+    slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²), intercept = (Σy−slope·Σx)/n."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_quantity"].to_numpy(np.float64)
+        y = b["l_extendedprice"].to_numpy(np.float64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "n": 1.0,
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "sxy": x * y,
+            }
+        )
+        return df.groupby("l_returnflag", as_index=False).sum()
+
+    pdf = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("l_returnflag", as_index=False)
+        .sum()
+    )
+    n = pdf["n"].to_numpy()
+    sx, sy = pdf["sx"].to_numpy(), pdf["sy"].to_numpy()
+    sxx, sxy = pdf["sxx"].to_numpy(), pdf["sxy"].to_numpy()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    out = pd.DataFrame(
+        {
+            "l_returnflag": pdf["l_returnflag"],
+            "n_rows": n.astype(np.int64),
+            "slope": np.round(slope, 6),
+            "intercept": np.round(intercept, 6),
+        }
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_Q84 = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6) AS intercept
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q83_interarrival(sf_dir: str):
     """Inter-arrival gap statistics (the LAG-diff window member:
     sessionize q19 thresholds gaps, this AGGREGATES them): per event
@@ -4139,9 +4197,9 @@ def queries():
     SQL-oracle-checked queries, so the window is ROTATED each round:
     queries that have been driver-green for multiple rounds are moved
     past the window to make room for never-driver-graded ones (round
-    5 rotation: q02/q04/q05/q06/q07/q08/q09/q19/q26/q27/q34/q35/q36/
-    q38/q39/q42 out — each driver-green r1–r4 — q67–q71 + q73–q83
-    in).  Rotated-out
+    5 rotation: q02/q03/q04/q05/q06/q07/q08/q09/q19/q26/q27/q34/q35/
+    q36/q38/q39/q42 out — each driver-green r1–r4 — q67–q71 +
+    q73–q84 in).  Rotated-out
     queries keep their oracles and stay
     covered by the local replica gate (tests/test_queries_oracle.py,
     all oracle-checked queries vs DuckDB at sf0.001).  Rows-only
@@ -4149,7 +4207,6 @@ def queries():
     for WHY each has no oracle."""
     return {
         "q01_pricing_summary": q01_pricing_summary,
-        "q03_revenue_by_segment": q03_revenue_by_segment,
         "q10_doc_dedup_exact": q10_doc_dedup_exact,
         "q11_token_stats": q11_token_stats,
         "q12_word_counts": q12_word_counts,
@@ -4198,10 +4255,12 @@ def queries():
         "q81_freq_spectrum": q81_freq_spectrum,
         "q82_source_overlap": q82_source_overlap,
         "q83_interarrival": q83_interarrival,
+        "q84_group_regression": q84_group_regression,
         # ---- oracle-checked but rotated OUT of the driver's 50-slot
         # window (driver-green r1–r4; still run vs DuckDB in the
         # local replica gate every round) ----
         "q02_top_orders": q02_top_orders,
+        "q03_revenue_by_segment": q03_revenue_by_segment,
         "q05_nation_orders": q05_nation_orders,
         "q06_revenue_filter": q06_revenue_filter,
         "q04_customers_without_orders": q04_customers_without_orders,
@@ -4305,4 +4364,5 @@ def oracle_sql():
         "q81_freq_spectrum": SQL_Q81,
         "q82_source_overlap": SQL_Q82,
         "q83_interarrival": SQL_Q83,
+        "q84_group_regression": SQL_Q84,
     }
